@@ -82,12 +82,13 @@ def interleaved_gradient_noise(xy):
 
 
 def _radical_inverse_vdc(bits):
+    u = lambda x: jnp.uint32(x)
     bits = bits.astype(jnp.uint32)
     bits = (bits << 16) | (bits >> 16)
-    bits = ((bits & 0x55555555) << 1) | ((bits & 0xAAAAAAAA) >> 1)
-    bits = ((bits & 0x33333333) << 2) | ((bits & 0xCCCCCCCC) >> 2)
-    bits = ((bits & 0x0F0F0F0F) << 4) | ((bits & 0xF0F0F0F0) >> 4)
-    bits = ((bits & 0x00FF00FF) << 8) | ((bits & 0xFF00FF00) >> 8)
+    bits = ((bits & u(0x55555555)) << 1) | ((bits & u(0xAAAAAAAA)) >> 1)
+    bits = ((bits & u(0x33333333)) << 2) | ((bits & u(0xCCCCCCCC)) >> 2)
+    bits = ((bits & u(0x0F0F0F0F)) << 4) | ((bits & u(0xF0F0F0F0)) >> 4)
+    bits = ((bits & u(0x00FF00FF)) << 8) | ((bits & u(0xFF00FF00)) >> 8)
     return bits.astype(jnp.float32) * 2.3283064365386963e-10
 
 
