@@ -1,0 +1,190 @@
+"""AssetStore: host-side builder for the device asset heap.
+
+TPU-first equivalent of the reference's GpuAssets (assets/mod.rs:230-542):
+the six global bindless buffers become one SoA numpy heap, filled by
+add_texture/add_material/add_mesh, then shipped to HBM once via to_device().
+Allocation is bump-pointer (assets are immutable for a scene's lifetime;
+the reference's free-lists exist for interactive editing, which maps to
+rebuilding the heap — a host-side, load-time operation)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orbit_tpu.assets import lod as lod_mod
+from orbit_tpu.assets import textures as tex_mod
+from orbit_tpu.assets.mesh import (
+    MeshData,
+    compute_aabb,
+    compute_bounding_sphere,
+    dedupe_vertices,
+    spatial_sort_triangles,
+)
+from orbit_tpu.assets.meshlet import build_meshlets
+from orbit_tpu.assets.types import (
+    ALPHA_MODE_OPAQUE,
+    MAX_LODS,
+    MAX_MESHLET_TRIANGLES,
+    MAX_MESHLET_VERTICES,
+    AssetArrays,
+    AssetCaps,
+    AssetMeta,
+    empty_asset_numpy,
+)
+from orbit_tpu.math.packing import pack_normal_tangent
+
+
+class AssetStore:
+    def __init__(self, caps: AssetCaps = AssetCaps()):
+        self.caps = caps
+        self.h = empty_asset_numpy(caps)  # host heap
+        self.h["tex_mips"] = [m for m in self.h["tex_mips"]]
+        self.num_vertices = 0
+        self.num_meshlets = 0
+        self.num_meshes = 0
+        self.num_materials = 0
+        self.num_texture_layers = 0
+
+    # -- textures ----------------------------------------------------------
+    def add_texture(self, img: np.ndarray, srgb: bool = True) -> int:
+        layer = self.num_texture_layers
+        assert layer < self.caps.texture_layers, "texture capacity exceeded"
+        mips = tex_mod.bake_layer(img, self.caps.texture_size, srgb)
+        for k, m in enumerate(mips):
+            self.h["tex_mips"][k][layer] = m
+        self.h["tex_srgb"][layer] = srgb
+        self.num_texture_layers += 1
+        return layer
+
+    # -- materials ----------------------------------------------------------
+    def add_material(
+        self,
+        base_color=(1.0, 1.0, 1.0, 1.0),
+        metallic: float = 0.0,
+        roughness: float = 0.5,
+        emissive=(0.0, 0.0, 0.0),
+        base_color_tex: int = -1,
+        normal_tex: int = -1,
+        metallic_roughness_tex: int = -1,
+        occlusion_tex: int = -1,
+        emissive_tex: int = -1,
+        alpha_mode: int = ALPHA_MODE_OPAQUE,
+        alpha_cutoff: float = 0.5,
+    ) -> int:
+        i = self.num_materials
+        assert i < self.caps.materials, "material capacity exceeded"
+        h = self.h
+        h["mat_base_color"][i] = base_color
+        h["mat_emissive"][i] = emissive
+        h["mat_metallic"][i] = metallic
+        h["mat_roughness"][i] = roughness
+        h["mat_tex"][i] = [
+            base_color_tex,
+            normal_tex,
+            metallic_roughness_tex,
+            occlusion_tex,
+            emissive_tex,
+        ]
+        h["mat_alpha_mode"][i] = alpha_mode
+        h["mat_alpha_cutoff"][i] = alpha_cutoff
+        self.num_materials += 1
+        return i
+
+    # -- meshes --------------------------------------------------------------
+    def add_mesh(self, mesh: MeshData, build_lods: bool = True) -> int:
+        """Process + upload one mesh: dedupe, Morton sort, LOD chain,
+        meshletize each LOD (reference: GpuAssets::add_mesh,
+        assets/mod.rs:325-476)."""
+        mesh = dedupe_vertices(mesh.finalize())
+        v_base = self.num_vertices
+        n_verts = len(mesh.positions)
+        assert v_base + n_verts <= self.caps.vertices, "vertex capacity exceeded"
+
+        h = self.h
+        h["positions"][v_base : v_base + n_verts] = mesh.positions
+        h["uvs"][v_base : v_base + n_verts] = mesh.uvs
+        h["normals_packed"][v_base : v_base + n_verts] = np.asarray(
+            pack_normal_tangent(
+                jnp.asarray(mesh.normals), jnp.asarray(mesh.tangents)
+            )
+        )
+
+        tri_mat = mesh.tri_material
+        if tri_mat is None:
+            tri_mat = np.full(len(mesh.indices) // 3, mesh.material, np.int32)
+        order = spatial_sort_triangles(mesh.positions, mesh.indices)
+        tris = mesh.indices.reshape(-1, 3)[order]
+        tri_mat = tri_mat[order]
+        indices = tris.reshape(-1)
+
+        lods = (
+            lod_mod.build_lod_chain(mesh.positions, indices, tri_mat, MAX_LODS)
+            if build_lods
+            else [(indices, tri_mat)]
+        )
+
+        mesh_id = self.num_meshes
+        assert mesh_id < self.caps.meshes, "mesh capacity exceeded"
+        for li, (lidx, lmat) in enumerate(lods):
+            mlets = build_meshlets(mesh.positions, lidx, lmat)
+            m_base = self.num_meshlets
+            assert (
+                m_base + len(mlets) <= self.caps.meshlets
+            ), "meshlet capacity exceeded"
+            for k, ml in enumerate(mlets):
+                i = m_base + k
+                nv, nt = len(ml.vertices), len(ml.triangles)
+                # pad vertices with the first vertex (safe gathers), tris with 0s
+                h["mlet_vertices"][i, :nv] = ml.vertices + v_base
+                h["mlet_vertices"][i, nv:] = ml.vertices[0] + v_base
+                h["mlet_tris"][i, :nt] = ml.triangles
+                h["mlet_vcount"][i] = nv
+                h["mlet_tcount"][i] = nt
+                h["mlet_sphere"][i] = ml.sphere
+                h["mlet_cone"][i] = ml.cone
+                h["mlet_material"][i] = ml.material
+            self.num_meshlets += len(mlets)
+            h["mesh_lod_offset"][mesh_id, li] = m_base
+            h["mesh_lod_count"][mesh_id, li] = len(mlets)
+        # pad unused LOD slots with the last LOD (branch-free LOD pick)
+        for li in range(len(lods), MAX_LODS):
+            h["mesh_lod_offset"][mesh_id, li] = h["mesh_lod_offset"][
+                mesh_id, len(lods) - 1
+            ]
+            h["mesh_lod_count"][mesh_id, li] = h["mesh_lod_count"][
+                mesh_id, len(lods) - 1
+            ]
+        h["mesh_lod_levels"][mesh_id] = len(lods)
+        h["mesh_sphere"][mesh_id] = compute_bounding_sphere(mesh.positions)
+        h["mesh_aabb"][mesh_id] = compute_aabb(mesh.positions)
+
+        self.num_vertices += n_verts
+        self.num_meshes += 1
+        return mesh_id
+
+    # -- upload ---------------------------------------------------------------
+    def to_device(self, device=None) -> tuple[AssetArrays, AssetMeta]:
+        h = self.h
+        put = lambda x: jax.device_put(x, device)
+        arrays = AssetArrays(
+            **{
+                k: put(v)
+                for k, v in h.items()
+                if k not in ("tex_mips", "tex_srgb")
+            },
+            tex_mips=tuple(put(m) for m in h["tex_mips"]),
+            tex_srgb=put(h["tex_srgb"]),
+        )
+        meta = AssetMeta(
+            num_vertices=self.num_vertices,
+            num_meshlets=self.num_meshlets,
+            num_meshes=self.num_meshes,
+            num_materials=self.num_materials,
+            num_texture_layers=self.num_texture_layers,
+            caps=self.caps,
+        )
+        return arrays, meta

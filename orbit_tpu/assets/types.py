@@ -1,0 +1,179 @@
+"""Asset data layout: fixed-capacity SoA arrays (the TPU 'bindless heap').
+
+Mirrors the reference's global GPU buffers (assets/mod.rs:197-205 capacities,
+assets/mod.rs:18-150 struct layouts) as structure-of-arrays pytrees with
+static shapes, which is what XLA wants. Counts live in `AssetMeta` as plain
+Python ints — scene load implies retrace anyway.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Tuple
+
+import jax
+import numpy as np
+
+# reference: src/assets/mesh.rs:8-9
+MAX_MESHLET_VERTICES = 64
+MAX_MESHLET_TRIANGLES = 64
+MAX_LODS = 8  # reference: assets/mod.rs:336-402 builds <=8 LOD levels
+
+# reference: assets/mod.rs:124-150 AlphaMode
+ALPHA_MODE_OPAQUE = 0
+ALPHA_MODE_MASKED = 1
+ALPHA_MODE_TRANSPARENT = 2
+
+# material texture slots (reference: GpuMaterialData descriptor indices)
+TEX_BASE_COLOR = 0
+TEX_NORMAL = 1
+TEX_METALLIC_ROUGHNESS = 2
+TEX_OCCLUSION = 3
+TEX_EMISSIVE = 4
+NUM_TEX_SLOTS = 5
+
+
+@dataclass(frozen=True)
+class AssetCaps:
+    """Static capacities. Defaults scaled for tests; production uses
+    `AssetCaps.production()` matching the reference ceilings."""
+
+    vertices: int = 1 << 16
+    meshlets: int = 1 << 12
+    meshes: int = 256
+    materials: int = 64
+    texture_layers: int = 16
+    texture_size: int = 256  # all texture layers resampled to S x S
+
+    @staticmethod
+    def production() -> "AssetCaps":
+        # reference: assets/mod.rs:197-205 (4M verts, 256k meshlets,
+        # 10k meshes, 1k materials)
+        return AssetCaps(
+            vertices=4_000_000,
+            meshlets=256_000,
+            meshes=10_000,
+            materials=1_000,
+            texture_layers=256,
+            texture_size=1024,
+        )
+
+
+@dataclass(frozen=True)
+class AssetMeta:
+    """Static (non-traced) sidecar: how much of each capacity is used."""
+
+    num_vertices: int = 0
+    num_meshlets: int = 0
+    num_meshes: int = 0
+    num_materials: int = 0
+    num_texture_layers: int = 0
+    caps: AssetCaps = field(default_factory=AssetCaps)
+
+
+def _data_fields(cls):
+    return [f.name for f in dataclasses.fields(cls)]
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class AssetArrays:
+    """Device-resident asset heap. All shapes fixed by AssetCaps.
+
+    Vertices (SoA; reference GpuMeshVertex, mesh.rs:12-20):
+      positions       [V, 3] f32
+      normals_packed  [V, 4] i8   (oct normal xy, tangent alpha, bitangent sign)
+      uvs             [V, 2] f32
+    Meshlets (reference GpuMeshlet, assets/mod.rs:111-122):
+      mlet_vertices   [M, 64] i32  global vertex ids (padded with last valid)
+      mlet_tris       [M, 64, 3] i8 local indices (padded degenerate 0,0,0)
+      mlet_vcount     [M] i32
+      mlet_tcount     [M] i32
+      mlet_sphere     [M, 4] f32   model-space bounding sphere
+      mlet_cone       [M, 4] f32   normal cone (axis, cutoff); cutoff==1 -> never cull
+      mlet_material   [M] i32
+    Meshes (reference GpuMeshInfo, assets/mod.rs:18-28):
+      mesh_sphere     [Me, 4] f32
+      mesh_aabb       [Me, 2, 3] f32
+      mesh_lod_offset [Me, 8] i32  meshlet range per LOD
+      mesh_lod_count  [Me, 8] i32
+      mesh_lod_levels [Me] i32
+    Materials (reference GpuMaterialData, assets/mod.rs:487-531):
+      mat_base_color  [Ma, 4] f32
+      mat_emissive    [Ma, 3] f32 (factor-premultiplied)
+      mat_metallic    [Ma] f32
+      mat_roughness   [Ma] f32
+      mat_tex         [Ma, 5] i32  texture layer per slot, -1 = none
+      mat_alpha_mode  [Ma] i32
+      mat_alpha_cutoff[Ma] f32
+    Textures:
+      tex_mips        tuple of [L, s, s, 4] u8, s = S >> mip
+      tex_srgb        [L] bool — layer stores sRGB-encoded data
+    """
+
+    positions: jax.Array
+    normals_packed: jax.Array
+    uvs: jax.Array
+
+    mlet_vertices: jax.Array
+    mlet_tris: jax.Array
+    mlet_vcount: jax.Array
+    mlet_tcount: jax.Array
+    mlet_sphere: jax.Array
+    mlet_cone: jax.Array
+    mlet_material: jax.Array
+
+    mesh_sphere: jax.Array
+    mesh_aabb: jax.Array
+    mesh_lod_offset: jax.Array
+    mesh_lod_count: jax.Array
+    mesh_lod_levels: jax.Array
+
+    mat_base_color: jax.Array
+    mat_emissive: jax.Array
+    mat_metallic: jax.Array
+    mat_roughness: jax.Array
+    mat_tex: jax.Array
+    mat_alpha_mode: jax.Array
+    mat_alpha_cutoff: jax.Array
+
+    tex_mips: Tuple[jax.Array, ...]
+    tex_srgb: jax.Array
+
+
+def empty_asset_numpy(caps: AssetCaps) -> dict:
+    """Host-side zeroed asset heap as a dict of numpy arrays."""
+    V, M, Me, Ma = caps.vertices, caps.meshlets, caps.meshes, caps.materials
+    L, S = caps.texture_layers, caps.texture_size
+    n_mips = int(np.floor(np.log2(S))) + 1
+    return dict(
+        positions=np.zeros((V, 3), np.float32),
+        normals_packed=np.zeros((V, 4), np.int8),
+        uvs=np.zeros((V, 2), np.float32),
+        mlet_vertices=np.zeros((M, MAX_MESHLET_VERTICES), np.int32),
+        mlet_tris=np.zeros((M, MAX_MESHLET_TRIANGLES, 3), np.int8),
+        mlet_vcount=np.zeros((M,), np.int32),
+        mlet_tcount=np.zeros((M,), np.int32),
+        mlet_sphere=np.zeros((M, 4), np.float32),
+        mlet_cone=np.concatenate(
+            [np.zeros((M, 3), np.float32), np.ones((M, 1), np.float32)], axis=1
+        ),
+        mlet_material=np.zeros((M,), np.int32),
+        mesh_sphere=np.zeros((Me, 4), np.float32),
+        mesh_aabb=np.zeros((Me, 2, 3), np.float32),
+        mesh_lod_offset=np.zeros((Me, MAX_LODS), np.int32),
+        mesh_lod_count=np.zeros((Me, MAX_LODS), np.int32),
+        mesh_lod_levels=np.zeros((Me,), np.int32),
+        mat_base_color=np.ones((Ma, 4), np.float32),
+        mat_emissive=np.zeros((Ma, 3), np.float32),
+        mat_metallic=np.zeros((Ma,), np.float32),
+        mat_roughness=np.full((Ma,), 0.5, np.float32),
+        mat_tex=np.full((Ma, NUM_TEX_SLOTS), -1, np.int32),
+        mat_alpha_mode=np.zeros((Ma,), np.int32),
+        mat_alpha_cutoff=np.full((Ma,), 0.5, np.float32),
+        tex_mips=tuple(
+            np.zeros((L, S >> k, S >> k, 4), np.uint8) for k in range(n_mips)
+        ),
+        tex_srgb=np.zeros((L,), bool),
+    )
