@@ -1,0 +1,96 @@
+"""Exact sort-based meshlet -> screen-tile binning (no atomics).
+
+The reference lets the GPU append draw commands with atomicAdd
+(meshlet_cull.comp:228). XLA has no atomics; instead:
+  1. per-meshlet tile span from its screen bbox -> pair count
+  2. exclusive cumsum -> pair offsets
+  3. *inverse expansion*: for each pair slot p in a fixed-capacity buffer,
+     searchsorted(offsets, p) recovers its meshlet; span arithmetic recovers
+     its tile (no scatter, fully static shapes)
+  4. one stable sort by tile id groups pairs per tile; per-tile ranges come
+     from searchsorted of the tile boundaries.
+Overflow beyond pair capacity is dropped and reported via `overflow`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class BinLists:
+    """pair_slot: [P] i32 meshlet-instance slot, sorted by tile (pad: -1)
+    pair_tile: [P] i32 tile id per pair (pad: -1)
+    tile_start/tile_count: [T] i32 range into pair_slot per tile
+    overflow: [] bool — pair capacity exceeded this frame
+    """
+
+    pair_slot: jax.Array
+    pair_tile: jax.Array
+    tile_start: jax.Array
+    tile_count: jax.Array
+    overflow: jax.Array
+
+
+def bin_meshlets(
+    bbox, inst_valid, width, height, tile_h, tile_w, pair_capacity
+) -> BinLists:
+    """bbox: [I,4] screen bounds; inst_valid: [I] bool."""
+    ntx = -(-width // tile_w)
+    nty = -(-height // tile_h)
+    n_tiles = ntx * nty
+
+    tx0 = jnp.clip(jnp.floor(bbox[:, 0] / tile_w).astype(jnp.int32), 0, ntx - 1)
+    ty0 = jnp.clip(jnp.floor(bbox[:, 1] / tile_h).astype(jnp.int32), 0, nty - 1)
+    # exclusive upper corner: a bbox touching x=tile edge exactly stays out
+    tx1 = jnp.clip(jnp.ceil(bbox[:, 2] / tile_w).astype(jnp.int32), 1, ntx)
+    ty1 = jnp.clip(jnp.ceil(bbox[:, 3] / tile_h).astype(jnp.int32), 1, nty)
+
+    empty = (bbox[:, 2] <= bbox[:, 0]) | (bbox[:, 3] <= bbox[:, 1])
+    use = inst_valid & ~empty
+    span_x = jnp.where(use, tx1 - tx0, 0)
+    span_y = jnp.where(use, ty1 - ty0, 0)
+    counts = span_x * span_y  # [I]
+
+    offsets = jnp.cumsum(counts) - counts  # exclusive
+    total = offsets[-1] + counts[-1] if counts.shape[0] > 0 else jnp.int32(0)
+
+    P = pair_capacity
+    p = jnp.arange(P, dtype=jnp.int32)
+    # which meshlet does pair slot p belong to?
+    slot = (
+        jnp.searchsorted(offsets + counts, p, side="right")
+        .astype(jnp.int32)
+        .clip(0, counts.shape[0] - 1)
+    )
+    local = p - offsets[slot]
+    sx = jnp.maximum(span_x[slot], 1)
+    tile_x = tx0[slot] + local % sx
+    tile_y = ty0[slot] + local // sx
+    tile = tile_y * ntx + tile_x
+    pair_valid = p < total
+
+    # sort by tile; invalid pairs to the end
+    key = jnp.where(pair_valid, tile, n_tiles)
+    order = jnp.argsort(key, stable=True)
+    sorted_key = key[order]
+    pair_slot = jnp.where(sorted_key < n_tiles, slot[order], -1)
+
+    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    tile_start = jnp.searchsorted(sorted_key, tile_ids, side="left").astype(
+        jnp.int32
+    )
+    tile_end = jnp.searchsorted(sorted_key, tile_ids, side="right").astype(
+        jnp.int32
+    )
+    return BinLists(
+        pair_slot=pair_slot,
+        pair_tile=jnp.where(sorted_key < n_tiles, sorted_key, -1),
+        tile_start=tile_start,
+        tile_count=tile_end - tile_start,
+        overflow=total > P,
+    )

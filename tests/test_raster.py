@@ -1,0 +1,110 @@
+"""Rasterizer tests: geometry setup, exact binning, and three-way
+differential testing (numpy reference vs XLA vs Pallas-interpret)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from orbit_tpu.assets import AssetStore, AssetCaps
+from orbit_tpu.assets import procedural as proc
+from orbit_tpu.camera import make_perspective_view
+from orbit_tpu.raster import (
+    RasterConfig,
+    bin_meshlets,
+    process_geometry,
+    rasterize,
+)
+from orbit_tpu.raster.raster_ref import rasterize_ref
+from orbit_tpu.raster.raster_xla import rasterize_xla
+from orbit_tpu.raster.raster_pallas import rasterize_pallas
+
+H, W = 96, 128
+
+
+def _sphere_setup():
+    store = AssetStore(AssetCaps())
+    store.add_material()
+    mesh_id = store.add_mesh(proc.uv_sphere(rings=12, sectors=24), build_lods=False)
+    assets, meta = store.to_device()
+    n = int(np.asarray(assets.mesh_lod_count)[mesh_id, 0])
+    off = int(np.asarray(assets.mesh_lod_offset)[mesh_id, 0])
+    meshlet_ids = jnp.arange(off, off + n, dtype=jnp.int32)
+    mats = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (n, 4, 4))
+    view = make_perspective_view(
+        eye=(0.0, 0.0, 3.0), target=(0.0, 0.0, 0.0), aspect=W / H
+    )
+    geom = process_geometry(assets, meshlet_ids, mats, view.view_proj, W, H)
+    return geom, n
+
+
+def test_geometry_produces_valid_tris():
+    geom, n = _sphere_setup()
+    valid = np.asarray(geom.tri_valid)
+    assert valid.any()
+    # roughly half the sphere's triangles are backfacing
+    assert 0.2 < valid.mean() < 0.8
+    # meshlets with at least one valid tri have non-empty bboxes
+    bbox = np.asarray(geom.bbox)
+    has_tri = valid.any(axis=1)
+    assert (bbox[has_tri, 2] > bbox[has_tri, 0]).all()
+    assert (bbox[has_tri, 3] > bbox[has_tri, 1]).all()
+
+
+def test_raster_xla_matches_numpy_ref():
+    geom, n = _sphere_setup()
+    bins = bin_meshlets(geom.bbox, geom.inst_valid, W, H, 16, 128, 1 << 10)
+    assert not bool(bins.overflow)
+    depth_x, vis_x = rasterize_xla(geom.setup, bins, H, W, 16, 128)
+    depth_r, vis_r = rasterize_ref(
+        np.asarray(geom.setup), np.asarray(geom.tri_valid), H, W
+    )
+    depth_x = np.asarray(depth_x)
+    vis_x = np.asarray(vis_x)
+    np.testing.assert_allclose(depth_x, depth_r, atol=1e-6)
+    # vis may differ only on exact depth ties; require near-total agreement
+    agree = (vis_x == vis_r).mean()
+    assert agree > 0.999, f"vis agreement {agree}"
+    # sphere covers the center, background at corners
+    assert vis_x[H // 2, W // 2] != 0
+    assert vis_x[0, 0] == 0 and depth_x[0, 0] == 0.0
+    # depth increases towards the center of the sphere (reverse-Z: closer)
+    assert depth_x[H // 2, W // 2] > depth_x[H // 2, W // 2 + 20] > 0
+
+
+def test_raster_pallas_interpret_matches_xla():
+    geom, n = _sphere_setup()
+    bins = bin_meshlets(geom.bbox, geom.inst_valid, W, H, 16, 128, 1 << 10)
+    depth_x, vis_x = rasterize_xla(geom.setup, bins, H, W, 16, 128)
+    depth_p, vis_p = rasterize_pallas(
+        geom.setup, bins, H, W, 16, 128, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(depth_p), np.asarray(depth_x), atol=0)
+    np.testing.assert_array_equal(np.asarray(vis_p), np.asarray(vis_x))
+
+
+def test_rasterize_api_end_to_end():
+    geom, n = _sphere_setup()
+    cfg = RasterConfig(backend="xla", pair_capacity=1 << 10)
+    depth, vis, bins = rasterize(geom, H, W, cfg)
+    assert depth.shape == (H, W) and vis.shape == (H, W)
+
+
+def test_binning_exact_ranges():
+    # one fake instance covering pixels [10..70) x [20..200) -> tiles known
+    bbox = jnp.array([[20.0, 10.0, 200.0, 70.0]])
+    valid = jnp.array([True])
+    bins = bin_meshlets(bbox, valid, 256, 128, 16, 128, 64)
+    # tile grid: ntx=2, nty=8; x tiles 0..1, y tiles 0..4 (70/16=4.375)
+    counts = np.asarray(bins.tile_count).reshape(8, 2)
+    expect = np.zeros((8, 2), np.int32)
+    expect[0:5, 0] = 1  # x in [20,200) covers tile x0 (0..128) and x1 (128..256)
+    expect[0:5, 1] = 1
+    np.testing.assert_array_equal(counts, expect)
+    slots = np.asarray(bins.pair_slot)
+    assert (slots[:10] == 0).all() and (slots[10:] == -1).all()
+
+
+def test_binning_overflow_flag():
+    bbox = jnp.tile(jnp.array([[0.0, 0.0, 256.0, 128.0]]), (100, 1))
+    valid = jnp.ones(100, bool)
+    bins = bin_meshlets(bbox, valid, 256, 128, 16, 128, 64)
+    assert bool(bins.overflow)
