@@ -25,11 +25,10 @@ from orbit_tpu.assets.mesh import (
     spatial_sort_triangles,
 )
 from orbit_tpu.assets.meshlet import build_meshlets
+from orbit_tpu.assets import types as types_mod
 from orbit_tpu.assets.types import (
     ALPHA_MODE_OPAQUE,
     MAX_LODS,
-    MAX_MESHLET_TRIANGLES,
-    MAX_MESHLET_VERTICES,
     AssetArrays,
     AssetCaps,
     AssetMeta,
@@ -42,7 +41,7 @@ class AssetStore:
     def __init__(self, caps: AssetCaps = AssetCaps()):
         self.caps = caps
         self.h = empty_asset_numpy(caps)  # host heap
-        self.h["tex_mips"] = [m for m in self.h["tex_mips"]]
+        self._mip_offsets = types_mod.mip_offsets(caps.texture_size)
         self.num_vertices = 0
         self.num_meshlets = 0
         self.num_meshes = 0
@@ -55,7 +54,9 @@ class AssetStore:
         assert layer < self.caps.texture_layers, "texture capacity exceeded"
         mips = tex_mod.bake_layer(img, self.caps.texture_size, srgb)
         for k, m in enumerate(mips):
-            self.h["tex_mips"][k][layer] = m
+            off = self._mip_offsets[k]
+            s = m.shape[0]
+            self.h["tex_data"][layer, off : off + s * s] = m.reshape(-1, 4)
         self.h["tex_srgb"][layer] = srgb
         self.num_texture_layers += 1
         return layer
@@ -170,15 +171,7 @@ class AssetStore:
     def to_device(self, device=None) -> tuple[AssetArrays, AssetMeta]:
         h = self.h
         put = lambda x: jax.device_put(x, device)
-        arrays = AssetArrays(
-            **{
-                k: put(v)
-                for k, v in h.items()
-                if k not in ("tex_mips", "tex_srgb")
-            },
-            tex_mips=tuple(put(m) for m in h["tex_mips"]),
-            tex_srgb=put(h["tex_srgb"]),
-        )
+        arrays = AssetArrays(**{k: put(v) for k, v in h.items()})
         meta = AssetMeta(
             num_vertices=self.num_vertices,
             num_meshlets=self.num_meshlets,

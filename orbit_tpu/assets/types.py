@@ -76,6 +76,32 @@ def _data_fields(cls):
     return [f.name for f in dataclasses.fields(cls)]
 
 
+def num_mips(size: int) -> int:
+    return int(np.floor(np.log2(size))) + 1
+
+
+def mip_offsets(size: int) -> np.ndarray:
+    """Texel offset of each mip level in the flat atlas, plus mip sizes.
+
+    Returns int32 [n_mips] offsets; total atlas texels = offsets[-1] +
+    (size >> (n_mips-1))**2.
+    """
+    offs = []
+    acc = 0
+    s = size
+    for _ in range(num_mips(size)):
+        offs.append(acc)
+        acc += s * s
+        s //= 2
+    return np.array(offs, np.int32)
+
+
+def atlas_texels(size: int) -> int:
+    offs = mip_offsets(size)
+    last = size >> (num_mips(size) - 1)
+    return int(offs[-1]) + last * last
+
+
 @jax.tree_util.register_dataclass
 @dataclass
 class AssetArrays:
@@ -107,8 +133,10 @@ class AssetArrays:
       mat_tex         [Ma, 5] i32  texture layer per slot, -1 = none
       mat_alpha_mode  [Ma] i32
       mat_alpha_cutoff[Ma] f32
-    Textures:
-      tex_mips        tuple of [L, s, s, 4] u8, s = S >> mip
+    Textures (flat mip atlas — one gatherable address space so per-pixel
+    mip selection is a single gather, no per-mip loops):
+      tex_data        [L, T4, 4] u8 where T4 = sum((S>>k)^2); texel
+                      (layer, mip k, y, x) lives at mip_offsets(S)[k] + y*(S>>k) + x
       tex_srgb        [L] bool — layer stores sRGB-encoded data
     """
 
@@ -138,7 +166,7 @@ class AssetArrays:
     mat_alpha_mode: jax.Array
     mat_alpha_cutoff: jax.Array
 
-    tex_mips: Tuple[jax.Array, ...]
+    tex_data: jax.Array
     tex_srgb: jax.Array
 
 
@@ -146,7 +174,6 @@ def empty_asset_numpy(caps: AssetCaps) -> dict:
     """Host-side zeroed asset heap as a dict of numpy arrays."""
     V, M, Me, Ma = caps.vertices, caps.meshlets, caps.meshes, caps.materials
     L, S = caps.texture_layers, caps.texture_size
-    n_mips = int(np.floor(np.log2(S))) + 1
     return dict(
         positions=np.zeros((V, 3), np.float32),
         normals_packed=np.zeros((V, 4), np.int8),
@@ -172,8 +199,6 @@ def empty_asset_numpy(caps: AssetCaps) -> dict:
         mat_tex=np.full((Ma, NUM_TEX_SLOTS), -1, np.int32),
         mat_alpha_mode=np.zeros((Ma,), np.int32),
         mat_alpha_cutoff=np.full((Ma,), 0.5, np.float32),
-        tex_mips=tuple(
-            np.zeros((L, S >> k, S >> k, 4), np.uint8) for k in range(n_mips)
-        ),
+        tex_data=np.zeros((L, atlas_texels(S), 4), np.uint8),
         tex_srgb=np.zeros((L,), bool),
     )

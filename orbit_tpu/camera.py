@@ -8,7 +8,7 @@ needs downstream: matrices plus the scalar projection params used by culling
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Optional
 
 import jax
@@ -37,10 +37,10 @@ class ViewParams:
     num_cull_planes: jax.Array  # scalar i32
     znear: jax.Array  # scalar
     zfar: jax.Array  # scalar (ortho only; 0 for perspective)
-    p00: jax.Array  # proj[0,0] (persp) or 2/width (ortho)
-    p11: jax.Array  # proj[1,1] (persp) or 2/height (ortho)
-    is_ortho: jax.Array  # scalar bool
+    p00: jax.Array  # proj[0,0] (persp) or 1/half_width (ortho)
+    p11: jax.Array  # proj[1,1] (persp) or 1/half_height (ortho)
     eye: jax.Array  # [3] world-space camera position
+    is_ortho: bool = field(metadata=dict(static=True), default=False)
 
 
 def make_perspective_view(
@@ -76,7 +76,7 @@ def make_perspective_view(
         zfar=jnp.float32(0.0),
         p00=proj[0, 0],
         p11=proj[1, 1],
-        is_ortho=jnp.asarray(False),
+        is_ortho=False,
         eye=jnp.asarray(eye, jnp.float32),
     )
 
@@ -102,6 +102,6 @@ def make_ortho_view(
         # ortho occlusion uses size_recip = 1/half_extent (entity_cull.comp:166)
         p00=jnp.float32(1.0) / jnp.asarray(half_width, jnp.float32),
         p11=jnp.float32(1.0) / jnp.asarray(half_height, jnp.float32),
-        is_ortho=jnp.asarray(True),
+        is_ortho=True,
         eye=jnp.asarray(eye, jnp.float32),
     )

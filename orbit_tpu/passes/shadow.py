@@ -1,0 +1,322 @@
+"""Cascaded shadow maps + PCSS filtering.
+
+TPU-native re-creation of passes/shadow_renderer.rs (cascade fitting,
+texel snapping, reverse-Z ortho) and the PCSS sampler of forward.frag
+(12-tap blocker search + penumbra-scaled 32-tap disk PCF with IGN
+rotation). Shadow maps are depth-only renders through the same
+cull+raster machinery as the main view.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orbit_tpu.camera import ViewParams, make_ortho_view
+from orbit_tpu.cull import cull_entities, cull_meshlet_instances, expand_instances
+from orbit_tpu.cull.entity_cull import PASS_SINGLE
+from orbit_tpu.math.color import interleaved_gradient_noise
+from orbit_tpu.math.frustum import perspective_corners
+from orbit_tpu.math.transforms import normalize
+from orbit_tpu.raster import RasterConfig, process_geometry, rasterize
+
+
+@dataclass(frozen=True)
+class ShadowSettings:
+    """reference: ShadowSettings (shadow_renderer.rs:44-133)."""
+
+    cascade_count: int = 4
+    resolution: int = 1024
+    max_distance: float = 40.0
+    split_lambda: float = 0.8
+    blocker_search_radius: float = 0.3
+    normal_bias_scale: float = 2.0
+    oriented_bias: float = 0.02
+    blocker_samples: int = 12
+    pcf_samples: int = 32
+    light_size: float = 0.4
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class ShadowMaps:
+    depth: jax.Array  # [C, S, S] f32 reverse-Z light depth
+    matrices: jax.Array  # [C, 4, 4] world -> light clip
+    world_sizes: jax.Array  # [C] ortho world diameter per cascade
+    resolution: int = field(metadata=dict(static=True), default=1024)
+
+
+def cascade_views(
+    camera_view: ViewParams,
+    fovy: float,
+    aspect: float,
+    light_dir,  # [3] direction TOWARDS the light
+    settings: ShadowSettings,
+    znear: float = 0.05,
+):
+    """Fit one ortho view per cascade (shadow_renderer.rs:466-554):
+    log/uniform blended splits, bounding sphere of each subfrustum,
+    texel snapping in light space."""
+    from orbit_tpu.math.frustum import frustum_split
+
+    views = []
+    inv_view = jnp.linalg.inv(camera_view.view)
+    ld = normalize(jnp.asarray(light_dir, jnp.float32))
+    up = jnp.where(
+        jnp.abs(ld[1]) < 0.99,
+        jnp.array([0.0, 1.0, 0.0]),
+        jnp.array([1.0, 0.0, 0.0]),
+    )
+    n = settings.cascade_count
+    splits = [znear] + [
+        frustum_split(znear, settings.max_distance, settings.split_lambda, (i + 1) / n)
+        for i in range(n)
+    ]
+    for i in range(n):
+        near_i, far_i = splits[i], splits[i + 1]
+        corners_v = perspective_corners(fovy, aspect, near_i, far_i)  # [8,3]
+        ch = jnp.concatenate([corners_v, jnp.ones((8, 1))], axis=-1)
+        corners_w = (ch @ inv_view.T)[:, :3]
+        center = corners_w.mean(axis=0)
+        radius = jnp.max(jnp.linalg.norm(corners_w - center, axis=-1)) * 1.001
+
+        # texel snap: quantize the light-space center (shadow_renderer.rs:520-531)
+        texel = 2.0 * radius / settings.resolution
+        s = normalize(jnp.cross(ld, up))
+        u = jnp.cross(s, ld)
+        cx = jnp.dot(center, s)
+        cy = jnp.dot(center, u)
+        snap_x = jnp.floor(cx / texel) * texel - cx
+        snap_y = jnp.floor(cy / texel) * texel - cy
+        center = center + s * snap_x + u * snap_y
+
+        zextra = radius * 4.0  # capture occluders behind the subfrustum
+        eye = center + ld * (radius + zextra)
+        view = make_ortho_view(
+            eye, center, up,
+            half_width=radius, half_height=radius,
+            znear=0.0, zfar=2.0 * radius + zextra,
+        )
+        views.append((view, radius))
+    return views
+
+
+def render_shadow_cascades(
+    assets,
+    scene,
+    num_entities: int,
+    camera_view: ViewParams,
+    fovy: float,
+    aspect: float,
+    light_dir,
+    settings: ShadowSettings,
+    raster_cfg: Optional[RasterConfig] = None,
+    instance_capacity: int = 1 << 13,
+) -> ShadowMaps:
+    """Depth-only render per cascade through the standard cull+raster path
+    (the reference reuses its meshlet pipeline identically,
+    shadow_renderer.rs:341-430)."""
+    S = settings.resolution
+    cfg = raster_cfg or RasterConfig()
+    maps, mats, sizes = [], [], []
+    for view, radius in cascade_views(
+        camera_view, fovy, aspect, light_dir, settings
+    ):
+        draw_e, lod_idx, _ = cull_entities(
+            assets, scene, num_entities,
+            cull_view=view.view,
+            cull_planes=view.cull_planes,
+            num_planes=view.num_cull_planes,
+            occlusion_pass=PASS_SINGLE,
+            is_ortho=True,
+        )
+        ie, im, il, iv, _ = expand_instances(
+            assets, draw_e, lod_idx, scene.entity_mesh, instance_capacity
+        )
+        draw_m, _ = cull_meshlet_instances(
+            assets, scene, ie, im, iv,
+            cull_view=view.view,
+            cull_planes=view.cull_planes,
+            num_planes=view.num_cull_planes,
+            occlusion_pass=PASS_SINGLE,
+            is_ortho=True,
+            use_meshlet_occlusion=False,
+        )
+        geom = process_geometry(
+            assets, im, scene.entity_model[ie], view.view_proj, S, S,
+            inst_valid=draw_m,
+        )
+        depth, _, _ = rasterize(geom, S, S, cfg)
+        maps.append(depth)
+        mats.append(view.view_proj)
+        sizes.append(radius * 2.0)
+    return ShadowMaps(
+        depth=jnp.stack(maps),
+        matrices=jnp.stack(mats),
+        world_sizes=jnp.stack(sizes),
+        resolution=S,
+    )
+
+
+# ------------------------------------------------------------- sampling
+
+
+def _vogel_disk(n: int):
+    """Deterministic disk sample pattern (forward.frag vogel_disk_sample)."""
+    i = np.arange(n, dtype=np.float32)
+    r = np.sqrt((i + 0.5) / n)
+    theta = i * 2.4
+    return np.stack([r * np.cos(theta), r * np.sin(theta)], -1).astype(
+        np.float32
+    )
+
+
+def _shadow_bilinear(shadow_depth, cascade, u, v, res):
+    x = u * res - 0.5
+    y = v * res - 0.5
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, res - 1)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, res - 1)
+    x1 = jnp.minimum(x0 + 1, res - 1)
+    y1 = jnp.minimum(y0 + 1, res - 1)
+    fx = jnp.clip(x - x0, 0, 1)
+    fy = jnp.clip(y - y0, 0, 1)
+    d00 = shadow_depth[cascade, y0, x0]
+    d10 = shadow_depth[cascade, y0, x1]
+    d01 = shadow_depth[cascade, y1, x0]
+    d11 = shadow_depth[cascade, y1, x1]
+    return (d00 * (1 - fx) + d10 * fx) * (1 - fy) + (
+        d01 * (1 - fx) + d11 * fx
+    ) * fy
+
+
+def _gather_cmp(shadow_depth, cascade, u, v, z, res):
+    """textureGather + GREATER_OR_EQUAL compare, averaged (one PCF tap)."""
+    x = jnp.clip(u * res - 0.5, 0.0, res - 1.0)
+    y = jnp.clip(v * res - 0.5, 0.0, res - 1.0)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, res - 1)
+    y1 = jnp.minimum(y0 + 1, res - 1)
+    hits = (
+        (z >= shadow_depth[cascade, y0, x0]).astype(jnp.float32)
+        + (z >= shadow_depth[cascade, y0, x1])
+        + (z >= shadow_depth[cascade, y1, x0])
+        + (z >= shadow_depth[cascade, y1, x1])
+    )
+    return hits * 0.25
+
+
+def sample_shadow_pcss(
+    shadows: ShadowMaps,
+    cascade,  # [N] i32
+    clip_pos,  # [N, 4] light-clip position (biased)
+    pixel_xy,  # [N, 2] screen coords for IGN rotation
+    light_inner_radius,  # scalar: light angular size driver
+    settings: ShadowSettings,
+):
+    """PCSS (forward.frag pcf_poisson:134-168). Returns [N] lit factor."""
+    res = shadows.resolution
+    w = jnp.maximum(jnp.abs(clip_pos[:, 3]), 1e-12)
+    ndc = clip_pos[:, :3] / w[:, None]
+    u = ndc[:, 0] * 0.5 + 0.5
+    v = ndc[:, 1] * -0.5 + 0.5
+    z = ndc[:, 2]
+
+    inv_world = 1.0 / jnp.maximum(
+        shadows.world_sizes[cascade], 1e-6
+    )  # [N]
+    theta = interleaved_gradient_noise(pixel_xy) * 2.0 * np.pi
+    c, s = jnp.cos(theta), jnp.sin(theta)
+
+    disk = jnp.asarray(_vogel_disk(max(settings.pcf_samples, settings.blocker_samples)))
+
+    def rotate(off):
+        return jnp.stack(
+            [off[0] * c - off[1] * s, off[0] * s + off[1] * c], axis=-1
+        )
+
+    # blocker search (penumbra_poisson)
+    search_r = settings.blocker_search_radius * inv_world
+    blockers = jnp.zeros_like(z)
+    blocker_depth = jnp.zeros_like(z)
+    for i in range(settings.blocker_samples):
+        off = rotate(disk[i]) * search_r[:, None]
+        d = _shadow_bilinear(
+            shadows.depth, cascade, u + off[:, 0], v + off[:, 1], res
+        )
+        hit = d > z
+        blockers = blockers + hit
+        blocker_depth = blocker_depth + jnp.where(hit, 1.0 - d, 0.0)
+
+    avg_blocker = blocker_depth / jnp.maximum(blockers, 1.0)
+    all_or_none = (blockers == 0) | (blockers == settings.blocker_samples)
+    early = 1.0 - blockers / settings.blocker_samples
+
+    uv_light_size = light_inner_radius * inv_world
+    penumbra = (
+        ((1.0 - z) - avg_blocker) / jnp.maximum(avg_blocker, 1e-6)
+    ) * uv_light_size
+    filter_r = jnp.maximum(penumbra * inv_world, 1.0 / res)
+
+    lit = jnp.zeros_like(z)
+    for i in range(settings.pcf_samples):
+        off = rotate(disk[i]) * filter_r[:, None]
+        lit = lit + _gather_cmp(
+            shadows.depth, cascade, u + off[:, 0], v + off[:, 1], z, res
+        )
+    lit = lit / settings.pcf_samples
+
+    return jnp.where(all_or_none, early, lit)
+
+
+def select_cascade(shadows: ShadowMaps, world_pos):
+    """First cascade whose NDC bounds contain the point
+    (forward.frag:406-421 check_ndc_bounds loop). Returns ([N] idx, [N,4]
+    clip pos at that cascade, [N] in-any-cascade)."""
+    ph = jnp.concatenate([world_pos, jnp.ones_like(world_pos[:, :1])], -1)
+    clips = jnp.einsum("cab,nb->nca", shadows.matrices, ph)  # [N,C,4]
+    w = jnp.where(jnp.abs(clips[..., 3]) < 1e-12, 1e-12, clips[..., 3])
+    ndc = clips[..., :3] / w[..., None]
+    inside = (
+        (ndc[..., 0] >= -1.0) & (ndc[..., 0] <= 1.0)
+        & (ndc[..., 1] >= -1.0) & (ndc[..., 1] <= 1.0)
+        & (ndc[..., 2] >= 0.0) & (ndc[..., 2] <= 1.0)
+    )  # [N,C]
+    any_inside = inside.any(axis=1)
+    first = jnp.argmax(inside, axis=1).astype(jnp.int32)
+    return first, any_inside
+
+
+def shadow_factor(
+    shadows: ShadowMaps,
+    gbuf_world_pos,  # [N,3]
+    normal,  # [N,3]
+    light_dir,  # [3]
+    light_inner_radius,
+    pixel_xy,  # [N,2]
+    settings: ShadowSettings,
+):
+    """Full directional-shadow evaluation with normal-offset + oriented
+    bias (forward.frag:424-445). Returns [N] lit factor in [0,1]."""
+    cascade, any_inside = select_cascade(shadows, gbuf_world_pos)
+
+    n_dot_l = jnp.sum(normal * light_dir[None, :], axis=-1)
+    texel_world = shadows.world_sizes[cascade] / shadows.resolution
+    normal_off = (
+        texel_world
+        * settings.normal_bias_scale
+        * jnp.clip(1.0 - n_dot_l, 0.0, 1.0)
+    )[:, None] * normal
+    oriented = jnp.where(n_dot_l > 0.0, -settings.oriented_bias, settings.oriented_bias)
+    pos = gbuf_world_pos + normal_off + oriented[:, None] * light_dir[None, :]
+
+    ph = jnp.concatenate([pos, jnp.ones_like(pos[:, :1])], -1)
+    clip = jnp.einsum("nab,nb->na", shadows.matrices[cascade], ph)
+    lit = sample_shadow_pcss(
+        shadows, cascade, clip, pixel_xy, light_inner_radius, settings
+    )
+    return jnp.where(any_inside, lit, 1.0)

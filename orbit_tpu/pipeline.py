@@ -1,0 +1,308 @@
+"""Pipeline: the fully GPU-driven culled frame (the TPU Context/App layer).
+
+Orchestrates the two-phase occlusion-culled frame of the reference
+(forward.rs:213-430 + app.rs:1050-1387):
+
+  early pass : entity cull (prev-frame visibility) -> meshlet cull (bitset)
+               -> raster what was visible last frame
+  HiZ        : min-reduction depth pyramid from the early depth
+  late pass  : entity+meshlet cull with occlusion tests -> raster only the
+               newly visible set on top of the early buffers
+  state      : visibility flags written back for the next frame
+  shade      : one deferred PBR pass over the final visibility buffer
+
+Everything is one traced jaxpr — the render graph "barriers" of the
+reference are simply data dependencies here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orbit_tpu.camera import ViewParams
+from orbit_tpu.cull import (
+    build_depth_pyramid,
+    cull_entities,
+    cull_meshlet_instances,
+    expand_instances,
+)
+from orbit_tpu.cull.entity_cull import PASS_EARLY, PASS_LATE, PASS_SINGLE
+from orbit_tpu.cull.visibility import (
+    VisibilityState,
+    build_visibility_layout,
+    gather_meshlet_bits,
+    initial_state,
+    scatter_meshlet_bits,
+)
+from orbit_tpu.math.color import srgb_to_linear, uint_hash
+from orbit_tpu.passes import post as post_mod
+from orbit_tpu.passes import shadow as shadow_mod
+from orbit_tpu.raster import RasterConfig, process_geometry, rasterize
+from orbit_tpu.renderer import RenderSettings, camera_ray_dirs
+from orbit_tpu.shade import ibl as ibl_mod
+from orbit_tpu.shade import pbr as pbr_mod
+from orbit_tpu.shade.resolve import resolve_gbuffer
+
+
+@dataclass(frozen=True)
+class CullSettings:
+    frustum: bool = True
+    cone: bool = True
+    occlusion: bool = True  # two-pass HiZ
+    meshlet_occlusion: bool = True
+    lod_base: float = 4.0
+    lod_step: float = 1.5
+    min_lod: int = 0
+    max_lod: int = 7
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    width: int = 1280
+    height: int = 720
+    raster: RasterConfig = field(default_factory=RasterConfig)
+    cull: CullSettings = field(default_factory=CullSettings)
+    instance_capacity: int = 1 << 13  # per pass
+    render_mode: int = 0
+    exposure: float = 1.0
+    shadows: Optional["shadow_mod.ShadowSettings"] = None
+    shadow_raster: Optional[RasterConfig] = None
+
+
+class Pipeline:
+    """Holds static per-scene layout; `frame` is the jit-able step."""
+
+    def __init__(self, config: PipelineConfig, assets_meta, scene_meta,
+                 assets_host_lod_count, entity_mesh_host):
+        self.config = config
+        self.scene_meta = scene_meta
+        offsets, total = build_visibility_layout(
+            assets_host_lod_count, entity_mesh_host, scene_meta.num_entities
+        )
+        self.vis_offsets = jnp.asarray(offsets)
+        self.vis_total = total
+
+    def initial_state(self) -> VisibilityState:
+        return initial_state(
+            self.scene_meta.entity_capacity, self.vis_total
+        )
+
+    # ------------------------------------------------------------------
+    def cull_and_raster(
+        self,
+        assets,
+        scene,
+        view: ViewParams,
+        state: VisibilityState,
+        cull_view: Optional[jax.Array] = None,
+    ):
+        """The two-phase cull+raster producing the final visibility buffer.
+
+        Returns (depth, vis, inst arrays (concatenated early+late), clip,
+        new_state, overflow).
+        """
+        cfg = self.config
+        W, H = cfg.width, cfg.height
+        C = cfg.instance_capacity
+        cv = view.view if cull_view is None else cull_view
+        two_pass = cfg.cull.occlusion
+
+        common = dict(
+            cull_view=cv,
+            cull_planes=view.cull_planes,
+            num_planes=view.num_cull_planes if cfg.cull.frustum else 0,
+            znear=view.znear,
+            zfar=view.zfar,
+            p00=view.p00,
+            p11=view.p11,
+            is_ortho=view.is_ortho,
+        )
+        lod = dict(
+            lod_base=cfg.cull.lod_base,
+            lod_step=cfg.cull.lod_step,
+            min_lod=cfg.cull.min_lod,
+            max_lod=cfg.cull.max_lod,
+        )
+
+        def run_pass(pass_id, pyramid, prev_entity, init, base):
+            draw_e, lod_idx, vis_e = cull_entities(
+                assets, scene, self.scene_meta.num_entities,
+                occlusion_pass=pass_id, pyramid=pyramid,
+                prev_visible=prev_entity, **common, **lod,
+            )
+            ie, im, il, iv, ovf = expand_instances(
+                assets, draw_e, lod_idx, scene.entity_mesh, C
+            )
+            prev_bits = gather_meshlet_bits(
+                state, self.vis_offsets, ie, il, iv
+            )
+            draw_m, vis_m = cull_meshlet_instances(
+                assets, scene, ie, im, iv,
+                occlusion_pass=pass_id, pyramid=pyramid,
+                prev_visible=prev_bits,
+                use_meshlet_occlusion=cfg.cull.meshlet_occlusion,
+                use_cone=cfg.cull.cone,
+                **common,
+            )
+            geom = process_geometry(
+                assets, im, scene.entity_model[ie], view.view_proj, W, H,
+                inst_valid=draw_m,
+            )
+            depth, vis, bins = rasterize(
+                geom, H, W, cfg.raster, init=init, vis_base_offset=base
+            )
+            return dict(
+                ie=ie, im=im, il=il, iv=iv, vis_m=vis_m, vis_e=vis_e,
+                clip=geom.clip, depth=depth, vis=vis,
+                overflow=ovf | bins.overflow,
+            )
+
+        if two_pass:
+            early = run_pass(PASS_EARLY, None, state.entity_visible, None, 0)
+            pyramid = build_depth_pyramid(early["depth"])
+            late = run_pass(
+                PASS_LATE, pyramid, None,
+                (early["depth"], early["vis"]), C,
+            )
+            depth, vis = late["depth"], late["vis"]
+            # write back visibility for next frame
+            new_state = VisibilityState(
+                entity_visible=late["vis_e"],
+                meshlet_visible=state.meshlet_visible,
+            )
+            new_state = scatter_meshlet_bits(
+                new_state, self.vis_offsets, late["ie"], late["il"],
+                late["iv"], late["vis_m"],
+            )
+            inst_entity = jnp.concatenate([early["ie"], late["ie"]])
+            inst_meshlet = jnp.concatenate([early["im"], late["im"]])
+            clip = jnp.concatenate([early["clip"], late["clip"]])
+            overflow = early["overflow"] | late["overflow"]
+        else:
+            single = run_pass(PASS_SINGLE, None, None, None, 0)
+            depth, vis = single["depth"], single["vis"]
+            new_state = state
+            inst_entity, inst_meshlet = single["ie"], single["im"]
+            clip = single["clip"]
+            overflow = single["overflow"]
+
+        return depth, vis, inst_entity, inst_meshlet, clip, new_state, overflow
+
+    # ------------------------------------------------------------------
+    def frame(
+        self,
+        assets,
+        scene,
+        view: ViewParams,
+        env: Optional[ibl_mod.EnvironmentMap],
+        state: VisibilityState,
+        num_lights: int,
+        cull_view: Optional[jax.Array] = None,
+    ):
+        cfg = self.config
+        W, H = cfg.width, cfg.height
+        (
+            depth, vis, inst_entity, inst_meshlet, clip, new_state, overflow
+        ) = self.cull_and_raster(assets, scene, view, state, cull_view)
+
+        inv_vp = jnp.linalg.inv(view.view_proj)
+        gbuf = resolve_gbuffer(
+            assets, vis, depth, clip, inst_meshlet, inst_entity,
+            scene.entity_normal_mat, inv_vp, W, H,
+        )
+        surface = pbr_mod.evaluate_material(assets, gbuf)
+
+        shadow_fn = None
+        if cfg.shadows is not None and not view.is_ortho:
+            # the first directional light casts cascaded shadows
+            # (reference: scene.rs:450-464 registers one ShadowCommand per
+            # directional light; we currently support one CSM set)
+            fovy = 2.0 * jnp.arctan(1.0 / view.proj[1, 1])
+            aspect = view.proj[1, 1] / view.proj[0, 0]
+            from orbit_tpu.scene import LIGHT_DIRECTIONAL
+
+            shadow_li = next(
+                (
+                    i
+                    for i, t in enumerate(self.scene_meta.light_types)
+                    if t == LIGHT_DIRECTIONAL
+                ),
+                None,
+            )
+            if shadow_li is not None:
+                light_dir = scene.light_dir[shadow_li]
+                shadows = shadow_mod.render_shadow_cascades(
+                    assets, scene, self.scene_meta.num_entities, view,
+                    fovy, aspect, light_dir, cfg.shadows,
+                    raster_cfg=cfg.shadow_raster or cfg.raster,
+                    instance_capacity=cfg.instance_capacity,
+                )
+                px = (
+                    jnp.arange(W * H, dtype=jnp.int32) % W
+                ).astype(jnp.float32) + 0.5
+                py = (
+                    jnp.arange(W * H, dtype=jnp.int32) // W
+                ).astype(jnp.float32) + 0.5
+                pixel_xy = jnp.stack([px, py], axis=-1)
+
+                def shadow_fn(li, gbuf_, surface_):
+                    lit = shadow_mod.shadow_factor(
+                        shadows, gbuf_.world_pos, surface_.normal,
+                        scene.light_dir[li], scene.light_inner_radius[li],
+                        pixel_xy, cfg.shadows,
+                    )
+                    # only the CSM light is shadowed
+                    return jnp.where(li == shadow_li, lit, jnp.ones_like(lit))
+
+        mode = cfg.render_mode
+        if mode == 2:
+            shaded = srgb_to_linear(surface.normal * 0.5 + 0.5)
+        elif mode == 3:
+            shaded = srgb_to_linear(surface.metallic[:, None].repeat(3, -1))
+        elif mode == 4:
+            shaded = srgb_to_linear(surface.roughness[:, None].repeat(3, -1))
+        elif mode == 5:
+            shaded = srgb_to_linear(surface.emissive)
+        elif mode == 6:
+            shaded = srgb_to_linear(surface.ao[:, None].repeat(3, -1))
+        elif mode == 9:
+            h = uint_hash(gbuf.meshlet.astype(jnp.uint32))
+            shaded = srgb_to_linear(
+                jnp.stack(
+                    [
+                        (h & 255).astype(jnp.float32),
+                        ((h >> 8) & 255).astype(jnp.float32),
+                        ((h >> 16) & 255).astype(jnp.float32),
+                    ],
+                    -1,
+                )
+                / 255.0
+            )
+        else:
+            shaded = pbr_mod.shade(
+                surface, gbuf, scene, num_lights, view.eye, env,
+                shadow_fn=shadow_fn,
+            )
+
+        hdr = shaded.reshape(H, W, 3)
+        if env is not None and mode == 0:
+            dirs = camera_ray_dirs(view, W, H)
+            sky = ibl_mod.sample_background(env, dirs)
+            hdr = jnp.where(gbuf.valid.reshape(H, W, 1), hdr, sky)
+        else:
+            hdr = jnp.where(gbuf.valid.reshape(H, W, 1), hdr, 0.0)
+
+        srgb = post_mod.tonemap(hdr, cfg.exposure)
+        out = {
+            "color": post_mod.to_u8(srgb),
+            "hdr": hdr,
+            "depth": depth,
+            "vis": vis,
+            "overflow": overflow,
+        }
+        return out, new_state

@@ -28,7 +28,12 @@ class RasterConfig:
 
 
 def rasterize(
-    geom: GeometryBuffers, height: int, width: int, cfg: RasterConfig
+    geom: GeometryBuffers,
+    height: int,
+    width: int,
+    cfg: RasterConfig,
+    init=None,
+    vis_base_offset: int = 0,
 ):
     """Returns (depth [H,W] f32 reverse-Z, vis [H,W] i32, bins)."""
     bins = bin_meshlets(
@@ -43,15 +48,13 @@ def rasterize(
     backend = cfg.resolve_backend()
     if backend == "xla":
         depth, vis = rasterize_xla(
-            geom.setup, bins, height, width, cfg.tile_h, cfg.tile_w
-        )
-    elif backend == "pallas_interpret":
-        depth, vis = rasterize_pallas(
             geom.setup, bins, height, width, cfg.tile_h, cfg.tile_w,
-            interpret=True,
+            init=init, vis_base_offset=vis_base_offset,
         )
     else:
         depth, vis = rasterize_pallas(
-            geom.setup, bins, height, width, cfg.tile_h, cfg.tile_w
+            geom.setup, bins, height, width, cfg.tile_h, cfg.tile_w,
+            interpret=(backend == "pallas_interpret"),
+            init=init, vis_base_offset=vis_base_offset,
         )
     return depth, vis, bins

@@ -25,7 +25,10 @@ from orbit_tpu.raster.binning import BinLists
 from orbit_tpu.raster.kernel_common import raster_meshlet_on_tile
 
 
-def _kernel(meta_ref, ty_ref, tx_ref, setup_ref, depth_ref, vis_ref, *, tile_h, tile_w):
+def _kernel(
+    meta_ref, ty_ref, tx_ref, setup_ref, init_d_ref, init_v_ref,
+    depth_ref, vis_ref, *, tile_h, tile_w, vis_base_offset,
+):
     p = pl.program_id(0)
     m = meta_ref[p]
     valid = (m & 1) == 1
@@ -34,8 +37,8 @@ def _kernel(meta_ref, ty_ref, tx_ref, setup_ref, depth_ref, vis_ref, *, tile_h, 
 
     @pl.when(first)
     def _():
-        depth_ref[...] = jnp.zeros_like(depth_ref)
-        vis_ref[...] = jnp.zeros_like(vis_ref)
+        depth_ref[...] = init_d_ref[...]
+        vis_ref[...] = init_v_ref[...]
 
     @pl.when(valid)
     def _():
@@ -47,7 +50,7 @@ def _kernel(meta_ref, ty_ref, tx_ref, setup_ref, depth_ref, vis_ref, *, tile_h, 
         xs = tx * tile_w + cols + 0.5
 
         setup_m = setup_ref[0]  # [64, 12]
-        vis_base = (slot << 6) + 1
+        vis_base = ((slot + vis_base_offset) << 6) + 1
         new_depth, new_vis = raster_meshlet_on_tile(
             setup_m, vis_base, xs, ys, depth_ref[...], vis_ref[...]
         )
@@ -63,11 +66,24 @@ def rasterize_pallas(
     tile_h: int,
     tile_w: int,
     interpret: bool = False,
+    init=None,
+    vis_base_offset: int = 0,
 ):
-    """setup: [I, 64, 12] f32. Returns (depth [H,W] f32, vis [H,W] i32)."""
+    """setup: [I, 64, 12] f32. Returns (depth [H,W] f32, vis [H,W] i32).
+
+    init: optional (depth [H,W], vis [H,W]) composited under this pass.
+    """
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
     P = bins.pair_slot.shape[0]
+
+    pad_h, pad_w = nty * tile_h - height, ntx * tile_w - width
+    if init is None:
+        init_d = jnp.zeros((nty * tile_h, ntx * tile_w), jnp.float32)
+        init_v = jnp.zeros((nty * tile_h, ntx * tile_w), jnp.int32)
+    else:
+        init_d = jnp.pad(init[0], ((0, pad_h), (0, pad_w)))
+        init_v = jnp.pad(init[1], ((0, pad_h), (0, pad_w)))
 
     pvalid = bins.pair_tile >= 0
     # padding pairs inherit the last valid tile so the out block never
@@ -81,6 +97,9 @@ def rasterize_pallas(
     ty = filled_tile // ntx
     tx = filled_tile % ntx
 
+    tile_spec = pl.BlockSpec(
+        (tile_h, tile_w), lambda p, meta, ty, tx: (ty[p], tx[p])
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(P,),
@@ -89,30 +108,30 @@ def rasterize_pallas(
                 (1, 64, 12),
                 lambda p, meta, ty, tx: (meta[p] >> 2, 0, 0),
             ),
+            tile_spec,
+            tile_spec,
         ],
-        out_specs=[
-            pl.BlockSpec(
-                (tile_h, tile_w), lambda p, meta, ty, tx: (ty[p], tx[p])
-            ),
-            pl.BlockSpec(
-                (tile_h, tile_w), lambda p, meta, ty, tx: (ty[p], tx[p])
-            ),
-        ],
+        out_specs=[tile_spec, tile_spec],
     )
 
     depth, vis = pl.pallas_call(
-        functools.partial(_kernel, tile_h=tile_h, tile_w=tile_w),
+        functools.partial(
+            _kernel,
+            tile_h=tile_h,
+            tile_w=tile_w,
+            vis_base_offset=vis_base_offset,
+        ),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nty * tile_h, ntx * tile_w), jnp.float32),
             jax.ShapeDtypeStruct((nty * tile_h, ntx * tile_w), jnp.int32),
         ],
         interpret=interpret,
-    )(meta, ty, tx, setup)
+    )(meta, ty, tx, setup, init_d, init_v)
 
-    # tiles that no pair ever visited hold garbage: clear via tile_count
+    # tiles that no pair ever visited hold garbage: restore init values
     occupied = (bins.tile_count > 0).reshape(nty, ntx)
     occupied = jnp.repeat(jnp.repeat(occupied, tile_h, 0), tile_w, 1)
-    depth = jnp.where(occupied, depth, 0.0)
-    vis = jnp.where(occupied, vis, 0)
+    depth = jnp.where(occupied, depth, init_d)
+    vis = jnp.where(occupied, vis, init_v)
     return depth[:height, :width], vis[:height, :width]

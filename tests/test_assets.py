@@ -103,8 +103,12 @@ def test_store_roundtrip():
     offs = np.asarray(arrays.mesh_lod_offset)[mesh_id]
     cnts = np.asarray(arrays.mesh_lod_count)[mesh_id]
     assert (cnts > 0).all()
-    # texture mip chain: first mip is 256 (cap default)... use store caps
-    assert arrays.tex_mips[0].shape[1] == store.caps.texture_size
+    # flat texture atlas sized to the full mip chain
+    from orbit_tpu.assets.types import atlas_texels
+
+    assert arrays.tex_data.shape[1] == atlas_texels(store.caps.texture_size)
+    # the checkerboard landed in mip 0 of layer 0 (non-zero content)
+    assert np.asarray(arrays.tex_data)[0, : 64 * 64].any()
 
 
 def test_multi_material_meshlets_split():
