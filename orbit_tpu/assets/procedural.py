@@ -31,7 +31,7 @@ def plane(size=1.0, segments=1) -> MeshData:
             b = a + 1
             c = a + (s + 1)
             d = c + 1
-            idx += [a, c, b, b, c, d]
+            idx += [a, b, c, b, d, c]  # CCW seen from +Y
     n = np.tile(np.array([0.0, 1.0, 0.0], np.float32), (len(pos), 1))
     return MeshData(
         positions=pos.astype(np.float32),
@@ -124,7 +124,7 @@ def torus(major=1.0, minor=0.35, rings=48, sides=24) -> MeshData:
             b = a + 1
             c = a + W
             d = c + 1
-            idx += [a, c, b, b, c, d]
+            idx += [a, b, c, b, d, c]  # outward-facing winding
     return MeshData(
         positions=pos.astype(np.float32),
         normals=n.astype(np.float32),

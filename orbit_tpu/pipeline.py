@@ -42,6 +42,9 @@ from orbit_tpu.cull.visibility import (
 from orbit_tpu.math.color import srgb_to_linear, uint_hash
 from orbit_tpu.passes import post as post_mod
 from orbit_tpu.passes import shadow as shadow_mod
+from orbit_tpu.passes.bloom import BloomSettings as BloomSettings_t
+from orbit_tpu.passes.cluster import ClusterSettings as ClusterSettings_t
+from orbit_tpu.passes.ssao import SsaoSettings as SsaoSettings_t
 from orbit_tpu.raster import RasterConfig, process_geometry, rasterize
 from orbit_tpu.renderer import RenderSettings, camera_ray_dirs
 from orbit_tpu.shade import ibl as ibl_mod
@@ -72,6 +75,9 @@ class PipelineConfig:
     exposure: float = 1.0
     shadows: Optional["shadow_mod.ShadowSettings"] = None
     shadow_raster: Optional[RasterConfig] = None
+    clusters: Optional["ClusterSettings_t"] = None
+    ssao: Optional["SsaoSettings_t"] = None
+    bloom: Optional["BloomSettings_t"] = None
 
 
 class Pipeline:
@@ -103,7 +109,7 @@ class Pipeline:
     ):
         """The two-phase cull+raster producing the final visibility buffer.
 
-        Returns (depth, vis, inst arrays (concatenated early+late), clip,
+        Returns (depth, vis, inst arrays (concatenated early+late), setup,
         new_state, overflow).
         """
         cfg = self.config
@@ -158,7 +164,7 @@ class Pipeline:
             )
             return dict(
                 ie=ie, im=im, il=il, iv=iv, vis_m=vis_m, vis_e=vis_e,
-                clip=geom.clip, depth=depth, vis=vis,
+                setup=geom.setup, depth=depth, vis=vis,
                 overflow=ovf | bins.overflow,
             )
 
@@ -181,17 +187,17 @@ class Pipeline:
             )
             inst_entity = jnp.concatenate([early["ie"], late["ie"]])
             inst_meshlet = jnp.concatenate([early["im"], late["im"]])
-            clip = jnp.concatenate([early["clip"], late["clip"]])
+            setup = jnp.concatenate([early["setup"], late["setup"]])
             overflow = early["overflow"] | late["overflow"]
         else:
             single = run_pass(PASS_SINGLE, None, None, None, 0)
             depth, vis = single["depth"], single["vis"]
             new_state = state
             inst_entity, inst_meshlet = single["ie"], single["im"]
-            clip = single["clip"]
+            setup = single["setup"]
             overflow = single["overflow"]
 
-        return depth, vis, inst_entity, inst_meshlet, clip, new_state, overflow
+        return depth, vis, inst_entity, inst_meshlet, setup, new_state, overflow
 
     # ------------------------------------------------------------------
     def frame(
@@ -207,15 +213,27 @@ class Pipeline:
         cfg = self.config
         W, H = cfg.width, cfg.height
         (
-            depth, vis, inst_entity, inst_meshlet, clip, new_state, overflow
+            depth, vis, inst_entity, inst_meshlet, setup, new_state, overflow
         ) = self.cull_and_raster(assets, scene, view, state, cull_view)
 
         inv_vp = jnp.linalg.inv(view.view_proj)
         gbuf = resolve_gbuffer(
-            assets, vis, depth, clip, inst_meshlet, inst_entity,
+            assets, vis, depth, setup, inst_meshlet, inst_entity,
             scene.entity_normal_mat, inv_vp, W, H,
         )
-        surface = pbr_mod.evaluate_material(assets, gbuf)
+
+        # SSAO (reference: ssao.rs + ssao.comp; uses resolved normals)
+        ssao_flat = None
+        if cfg.ssao is not None and not view.is_ortho:
+            from orbit_tpu.passes import ssao as ssao_mod
+
+            normal_view = gbuf.normal @ view.view[:3, :3].T
+            ao_img = ssao_mod.compute_ssao(
+                depth, normal_view.reshape(H, W, 3), view, cfg.ssao
+            )
+            ssao_flat = ao_img.reshape(-1)
+
+        surface = pbr_mod.evaluate_material(assets, gbuf, ssao=ssao_flat)
 
         shadow_fn = None
         if cfg.shadows is not None and not view.is_ortho:
@@ -259,8 +277,53 @@ class Pipeline:
                     # only the CSM light is shadowed
                     return jnp.where(li == shadow_li, lit, jnp.ones_like(lit))
 
+        # clustered point lights (reference: cluster.rs + light_cluster/*)
+        from orbit_tpu.scene import LIGHT_POINT
+
+        clusters = None
+        cluster_ids = None
+        if cfg.clusters is not None:
+            from orbit_tpu.passes import cluster as cluster_mod
+
+            clusters = cluster_mod.build_clusters(
+                depth, scene, num_lights, view, cfg.clusters
+            )
+            cluster_ids = cluster_mod.pixel_cluster_ids(
+                depth, view, cfg.clusters
+            )
+            light_slots = [
+                i
+                for i, t in enumerate(self.scene_meta.light_types[:num_lights])
+                if t != LIGHT_POINT
+            ]
+        else:
+            light_slots = list(range(num_lights))
+
         mode = cfg.render_mode
-        if mode == 2:
+        if mode == 1:
+            # cascade visualization (forward.frag case 1)
+            if cfg.shadows is not None and shadow_fn is not None:
+                casc, inside = shadow_mod.select_cascade(
+                    shadows, gbuf.world_pos
+                )
+                colors = jnp.array(
+                    [
+                        [1.0, 0.25, 0.25], [0.25, 1.0, 0.25],
+                        [0.25, 0.25, 1.0], [1.0, 1.0, 0.25],
+                    ]
+                )
+                cc = jnp.where(
+                    inside[:, None], colors[casc % 4], jnp.float32(0.25)
+                )
+                ld = scene.light_dir[shadow_li]
+                lit = shadow_fn(shadow_li, gbuf, surface)
+                diffuse = jnp.maximum(
+                    jnp.sum(gbuf.normal * ld[None, :], axis=-1), 0.0
+                ) * jnp.maximum(lit, 0.2)
+                shaded = cc * (0.3 + diffuse)[:, None]
+            else:
+                shaded = jnp.full((H * W, 3), 0.25)
+        elif mode == 2:
             shaded = srgb_to_linear(surface.normal * 0.5 + 0.5)
         elif mode == 3:
             shaded = srgb_to_linear(surface.metallic[:, None].repeat(3, -1))
@@ -270,6 +333,20 @@ class Pipeline:
             shaded = srgb_to_linear(surface.emissive)
         elif mode == 6:
             shaded = srgb_to_linear(surface.ao[:, None].repeat(3, -1))
+        elif mode == 7:
+            # overdraw visualization placeholder: white where covered
+            shaded = jnp.where(
+                gbuf.valid[:, None], jnp.float32(1.0), jnp.float32(0.0)
+            ) * jnp.ones((H * W, 3))
+        elif mode == 8:
+            if clusters is not None:
+                from orbit_tpu.passes import cluster as cluster_mod
+
+                shaded = cluster_mod.cluster_heatmap(
+                    clusters, cluster_ids, (H * W,)
+                ).reshape(H * W, 3)
+            else:
+                shaded = jnp.zeros((H * W, 3))
         elif mode == 9:
             h = uint_hash(gbuf.meshlet.astype(jnp.uint32))
             shaded = srgb_to_linear(
@@ -285,9 +362,16 @@ class Pipeline:
             )
         else:
             shaded = pbr_mod.shade(
-                surface, gbuf, scene, num_lights, view.eye, env,
+                surface, gbuf, scene, light_slots, view.eye, env,
                 shadow_fn=shadow_fn,
             )
+            if clusters is not None:
+                from orbit_tpu.passes import cluster as cluster_mod
+
+                shaded = shaded + cluster_mod.shade_clustered_points(
+                    clusters, cluster_ids, scene, surface, gbuf, view.eye,
+                    cfg.clusters.luminance_cutoff,
+                )
 
         hdr = shaded.reshape(H, W, 3)
         if env is not None and mode == 0:
@@ -297,7 +381,16 @@ class Pipeline:
         else:
             hdr = jnp.where(gbuf.valid.reshape(H, W, 1), hdr, 0.0)
 
-        srgb = post_mod.tonemap(hdr, cfg.exposure)
+        bloom_img = None
+        if cfg.bloom is not None:
+            from orbit_tpu.passes import bloom as bloom_mod
+
+            bloom_img = bloom_mod.compute_bloom(hdr, cfg.bloom)
+
+        srgb = post_mod.tonemap(
+            hdr, cfg.exposure, bloom=bloom_img,
+            bloom_intensity=cfg.bloom.intensity if cfg.bloom else 0.0,
+        )
         out = {
             "color": post_mod.to_u8(srgb),
             "hdr": hdr,

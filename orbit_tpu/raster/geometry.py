@@ -107,79 +107,98 @@ def clip_to_screen(clip, width, height):
 def triangle_setup(
     clip, tris, tri_in_range, width, height, two_sided=False, w_eps=1e-4
 ):
-    """Edge + depth-plane coefficients per triangle.
+    """Clipless homogeneous triangle setup (Olano-Greer style).
+
+    Edge functionals are rows of the adjugate of the 3x3 clip matrix
+    M = [x'|y'|w] in pixel-scale homogeneous coordinates, so triangles
+    crossing the near plane rasterize correctly with NO clipping stage —
+    the TPU-native answer to hardware guard-band clipping. The same
+    functionals double as unnormalized perspective-correct barycentrics:
+      b_i(p) = E_i(p) / sum_j E_j(p)
+    and depth is affine: z_ndc(p) = sum_i z_ci * E_i(p) / det.
 
     clip: [I,64,4]; tris: [I,T,3] local vertex indices.
     Returns (setup [I,T,12], valid [I,T], bbox [I,4]).
     """
-    x, y, z, w = clip_to_screen(clip, width, height)
+    w = clip[..., 3]
+    # pixel-scale homogeneous coords: when w > 0, x'/w = pixel x
+    xh = (clip[..., 0] * 0.5 + 0.5 * w) * width
+    yh = (0.5 * w - clip[..., 1] * 0.5) * height  # y down in pixels
+    zc = clip[..., 2]
 
-    # gather per-corner screen attrs: [I, T, 3]
-    xs = _gather3(x, tris)
-    ys = _gather3(y, tris)
-    zs = _gather3(z, tris)
+    xs = _gather3(xh, tris)  # [I,T,3]
+    ys = _gather3(yh, tris)
+    zs = _gather3(zc, tris)
     ws = _gather3(w, tris)
 
-    x0, x1, x2 = xs[..., 0], xs[..., 1], xs[..., 2]
-    y0, y1, y2 = ys[..., 0], ys[..., 1], ys[..., 2]
-    z0, z1, z2 = zs[..., 0], zs[..., 1], zs[..., 2]
+    def cross_cols(a, b):
+        """columns a, b as (x', y', w) triples -> cross product coeffs."""
+        ax, ay, aw = a
+        bx, by, bw = b
+        return (
+            ay * bw - aw * by,  # coefficient of px
+            aw * bx - ax * bw,  # coefficient of py
+            ax * by - ay * bx,  # constant
+        )
 
-    # signed 2x area in y-DOWN screen space: glTF front faces (CCW viewed
-    # from outside, right-handed) come out with area2 < 0 after the y flip
-    area2 = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+    c0 = (xs[..., 0], ys[..., 0], ws[..., 0])
+    c1 = (xs[..., 1], ys[..., 1], ws[..., 1])
+    c2 = (xs[..., 2], ys[..., 2], ws[..., 2])
+    e0 = cross_cols(c1, c2)
+    e1 = cross_cols(c2, c0)
+    e2 = cross_cols(c0, c1)
+    det = c0[0] * e0[0] + c0[1] * e0[1] + c0[2] * e0[2]
 
-    behind = jnp.any(ws < w_eps, axis=-1)  # near-plane: reject (TODO: clip)
-    degenerate = jnp.abs(area2) < 1e-12
+    # front faces (glTF CCW, y-down pixels) come out with det < 0
+    degenerate = jnp.abs(det) < 1e-10
+    fully_behind = jnp.all(ws < w_eps, axis=-1)
     if two_sided:
-        # flip edge signs so E >= 0 is inside regardless of winding
-        flip = jnp.where(area2 >= 0.0, 1.0, -1.0)
-        valid = ~behind & ~degenerate & tri_in_range
+        flip = jnp.where(det >= 0.0, 1.0, -1.0)
+        valid = ~degenerate & ~fully_behind & tri_in_range
     else:
-        flip = jnp.full_like(area2, -1.0)
-        valid = ~behind & ~degenerate & (area2 < 0.0) & tri_in_range
+        flip = jnp.full_like(det, -1.0)
+        valid = ~degenerate & ~fully_behind & (det < 0.0) & tri_in_range
 
-    def edge(xa, ya, xb, yb):
-        # E(p) = (p - a) x (b - a); >= 0 inside for positive-area triangles
-        ax = -(yb - ya)
-        ay = xb - xa
-        c = xa * (yb - ya) - ya * (xb - xa)
-        return ax, ay, c
-
-    # E0 opposite v0 -> edge (v1 -> v2), etc.
-    e0 = edge(x1, y1, x2, y2)
-    e1 = edge(x2, y2, x0, y0)
-    e2 = edge(x0, y0, x1, y1)
-
-    inv_area = jnp.where(degenerate, 0.0, 1.0 / jnp.where(degenerate, 1.0, area2))
-    za = ((z1 - z0) * (y2 - y0) - (z2 - z0) * (y1 - y0)) * inv_area
-    zb = ((z2 - z0) * (x1 - x0) - (z1 - z0) * (x2 - x0)) * inv_area
-    zc = z0 - za * x0 - zb * y0
+    inv_det = jnp.where(degenerate, 0.0, 1.0 / jnp.where(degenerate, 1.0, det))
+    za = (zs[..., 0] * e0[0] + zs[..., 1] * e1[0] + zs[..., 2] * e2[0]) * inv_det
+    zb = (zs[..., 0] * e0[1] + zs[..., 1] * e1[1] + zs[..., 2] * e2[1]) * inv_det
+    zzc = (zs[..., 0] * e0[2] + zs[..., 1] * e1[2] + zs[..., 2] * e2[2]) * inv_det
 
     neg_inf = jnp.float32(-3e38)
     coefs = []
-    for ax, ay, c in (e0, e1, e2):
+    for ex, ey, ec in (e0, e1, e2):
         coefs += [
-            jnp.where(valid, ax * flip, 0.0),
-            jnp.where(valid, ay * flip, 0.0),
-            jnp.where(valid, c * flip, neg_inf),  # invalid: E < 0 everywhere
+            jnp.where(valid, ex * flip, 0.0),
+            jnp.where(valid, ey * flip, 0.0),
+            jnp.where(valid, ec * flip, neg_inf),  # invalid: E < 0 everywhere
         ]
     coefs += [
         jnp.where(valid, za, 0.0),
         jnp.where(valid, zb, 0.0),
-        jnp.where(valid, zc, neg_inf),
+        jnp.where(valid, zzc, neg_inf),
     ]
     setup = jnp.stack(coefs, axis=-1)  # [I,T,12]
 
-    # meshlet screen bbox over valid triangle vertices
+    # meshlet screen bbox: projected vertex bounds when every vertex is
+    # safely in front; full screen for near-crossing meshlets (their
+    # triangles still rasterize exactly — only binning is conservative)
+    safe_w = jnp.maximum(ws, w_eps)
+    px = xs / safe_w
+    py = ys / safe_w
+    any_near = jnp.any((ws < w_eps) & valid[..., None], axis=(1, 2))
     big = jnp.float32(3e38)
-    vx = jnp.where(valid[..., None], xs, big)
-    vy = jnp.where(valid[..., None], ys, big)
+    vx = jnp.where(valid[..., None], px, big)
+    vy = jnp.where(valid[..., None], py, big)
     minx = jnp.min(vx, axis=(1, 2))
     miny = jnp.min(vy, axis=(1, 2))
-    vx = jnp.where(valid[..., None], xs, -big)
-    vy = jnp.where(valid[..., None], ys, -big)
+    vx = jnp.where(valid[..., None], px, -big)
+    vy = jnp.where(valid[..., None], py, -big)
     maxx = jnp.max(vx, axis=(1, 2))
     maxy = jnp.max(vy, axis=(1, 2))
+    minx = jnp.where(any_near, 0.0, minx)
+    miny = jnp.where(any_near, 0.0, miny)
+    maxx = jnp.where(any_near, jnp.float32(width), maxx)
+    maxy = jnp.where(any_near, jnp.float32(height), maxy)
     bbox = jnp.stack(
         [
             jnp.clip(minx, 0.0, width),

@@ -3,14 +3,20 @@
 Grid iterates the *sorted pair stream* (one step = one meshlet x one tile),
 so there are zero wasted steps for empty tiles. Scalar-prefetch index maps
 perform the meshlet-setup gather — Pallas double-buffers those DMAs
-automatically — and the output depth/vis tile block stays resident in VMEM
-across consecutive pairs of the same tile (pairs are tile-sorted), giving
-the accumulation pattern of a classic matmul K-loop.
+automatically — and the output depth/vis blocks stay resident in VMEM
+across consecutive pairs (the accumulation pattern of a matmul K-loop).
 
-This replaces the reference's vkCmdDrawIndexedIndirectCount consumption of
-GPU-generated draw lists (graph.rs:222-229): the pair stream *is* the
-indirect draw buffer, with capacity MAX_DRAW-style ceilings
-(draw_gen.rs:15-16)."""
+Mosaic layout: every in-kernel array is rank-2. Triangle functionals are
+[64, TILE_PX] (triangles on sublanes, pixels on lanes). The framebuffer is
+stored as [n_tile_groups * 8, TILE_PX] — blocks cover 8 consecutive tiles
+(to satisfy the (8,128) min block shape) and the pair's tile selects one
+row group dynamically.
+
+This replaces the reference's consumption of GPU-generated indirect draw
+lists (vkCmdDrawIndexedIndirectCount, graph.rs:222-229): the pair stream
+*is* the indirect draw buffer, with MAX_DRAW-style capacity ceilings
+(draw_gen.rs:15-16).
+"""
 
 from __future__ import annotations
 
@@ -22,12 +28,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from orbit_tpu.raster.binning import BinLists
-from orbit_tpu.raster.kernel_common import raster_meshlet_on_tile
+
+_GROUP = 8  # tiles per framebuffer block
 
 
 def _kernel(
-    meta_ref, ty_ref, tx_ref, setup_ref, init_d_ref, init_v_ref,
-    depth_ref, vis_ref, *, tile_h, tile_w, vis_base_offset,
+    meta_ref, tile_ref, setup_ref, init_d_ref, init_v_ref,
+    depth_ref, vis_ref, *, tile_h, tile_w, ntx, vis_base_offset,
 ):
     p = pl.program_id(0)
     m = meta_ref[p]
@@ -42,20 +49,40 @@ def _kernel(
 
     @pl.when(valid)
     def _():
-        ty = ty_ref[p].astype(jnp.float32)
-        tx = tx_ref[p].astype(jnp.float32)
-        rows = jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 0)
-        cols = jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 1)
-        ys = ty * tile_h + rows + 0.5
-        xs = tx * tile_w + cols + 0.5
+        tile = tile_ref[p]
+        r = tile % _GROUP
+        ty = (tile // ntx).astype(jnp.float32)
+        tx = (tile % ntx).astype(jnp.float32)
+        tpx = tile_h * tile_w
+        flat = jax.lax.broadcasted_iota(jnp.int32, (1, tpx), 1)
+        col = (flat % tile_w).astype(jnp.float32)
+        row = (flat // tile_w).astype(jnp.float32)
+        xs = tx * tile_w + col + 0.5  # [1, TPX]
+        ys = ty * tile_h + row + 0.5
 
-        setup_m = setup_ref[0]  # [64, 12]
+        s = setup_ref[0]  # [64, 12]
+
+        def coef(k):
+            return s[:, k][:, None]  # [64, 1]
+
+        # same math as kernel_common.raster_meshlet_on_tile, rank-2 layout
+        e0 = coef(0) * xs + coef(1) * ys + coef(2)  # [64, TPX]
+        e1 = coef(3) * xs + coef(4) * ys + coef(5)
+        e2 = coef(6) * xs + coef(7) * ys + coef(8)
+        z = coef(9) * xs + coef(10) * ys + coef(11)
+
+        inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (z <= 1.0)
+        cand = jnp.where(inside, z, -1.0)
+
+        best_z = jnp.max(cand, axis=0, keepdims=True)  # [1, TPX]
+        best_tri = jnp.argmax(cand, axis=0, keepdims=True).astype(jnp.int32)
+
         vis_base = ((slot + vis_base_offset) << 6) + 1
-        new_depth, new_vis = raster_meshlet_on_tile(
-            setup_m, vis_base, xs, ys, depth_ref[...], vis_ref[...]
-        )
-        depth_ref[...] = new_depth
-        vis_ref[...] = new_vis
+        cur_d = depth_ref[pl.ds(r, 1), :]
+        cur_v = vis_ref[pl.ds(r, 1), :]
+        win = best_z > cur_d
+        depth_ref[pl.ds(r, 1), :] = jnp.where(win, best_z, cur_d)
+        vis_ref[pl.ds(r, 1), :] = jnp.where(win, vis_base + best_tri, cur_v)
 
 
 def rasterize_pallas(
@@ -75,63 +102,87 @@ def rasterize_pallas(
     """
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
+    n_tiles = ntx * nty
+    n_tiles_pad = -(-n_tiles // _GROUP) * _GROUP
+    tpx = tile_h * tile_w
     P = bins.pair_slot.shape[0]
 
-    pad_h, pad_w = nty * tile_h - height, ntx * tile_w - width
+    def to_tiles(img):
+        pad_h, pad_w = nty * tile_h - height, ntx * tile_w - width
+        x = jnp.pad(img, ((0, pad_h), (0, pad_w)))
+        t = (
+            x.reshape(nty, tile_h, ntx, tile_w)
+            .transpose(0, 2, 1, 3)
+            .reshape(n_tiles, tpx)
+        )
+        return jnp.pad(t, ((0, n_tiles_pad - n_tiles), (0, 0)))
+
+    def from_tiles(t):
+        img = (
+            t[:n_tiles]
+            .reshape(nty, ntx, tile_h, tile_w)
+            .transpose(0, 2, 1, 3)
+            .reshape(nty * tile_h, ntx * tile_w)
+        )
+        return img[:height, :width]
+
     if init is None:
-        init_d = jnp.zeros((nty * tile_h, ntx * tile_w), jnp.float32)
-        init_v = jnp.zeros((nty * tile_h, ntx * tile_w), jnp.int32)
+        init_d = jnp.zeros((n_tiles_pad, tpx), jnp.float32)
+        init_v = jnp.zeros((n_tiles_pad, tpx), jnp.int32)
     else:
-        init_d = jnp.pad(init[0], ((0, pad_h), (0, pad_w)))
-        init_v = jnp.pad(init[1], ((0, pad_h), (0, pad_w)))
+        init_d = to_tiles(init[0])
+        init_v = to_tiles(init[1])
 
     pvalid = bins.pair_tile >= 0
-    # padding pairs inherit the last valid tile so the out block never
-    # changes during the padded suffix (single final writeback)
     filled_tile = jax.lax.cummax(jnp.where(pvalid, bins.pair_tile, -1))
     filled_tile = jnp.maximum(filled_tile, 0)
-    prev_tile = jnp.concatenate([jnp.full((1,), -1, jnp.int32), filled_tile[:-1]])
-    first = pvalid & (filled_tile != prev_tile)
+    # "first" fires when the 8-tile GROUP changes (block granularity)
+    group = filled_tile // _GROUP
+    prev_group = jnp.concatenate([jnp.full((1,), -1, jnp.int32), group[:-1]])
+    first = pvalid & (group != prev_group)
     slot = jnp.maximum(bins.pair_slot, 0)
-    meta = (slot << 2) | (first.astype(jnp.int32) << 1) | pvalid.astype(jnp.int32)
-    ty = filled_tile // ntx
-    tx = filled_tile % ntx
+    meta = (slot << 2) | (first.astype(jnp.int32) << 1) | pvalid.astype(
+        jnp.int32
+    )
 
-    tile_spec = pl.BlockSpec(
-        (tile_h, tile_w), lambda p, meta, ty, tx: (ty[p], tx[p])
+    fb_spec = pl.BlockSpec(
+        (_GROUP, tpx), lambda p, meta, tile: (tile[p] // _GROUP, 0)
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(P,),
         in_specs=[
             pl.BlockSpec(
-                (1, 64, 12),
-                lambda p, meta, ty, tx: (meta[p] >> 2, 0, 0),
+                (1, 64, 12), lambda p, meta, tile: (meta[p] >> 2, 0, 0)
             ),
-            tile_spec,
-            tile_spec,
+            fb_spec,
+            fb_spec,
         ],
-        out_specs=[tile_spec, tile_spec],
+        out_specs=[fb_spec, fb_spec],
     )
 
-    depth, vis = pl.pallas_call(
+    depth_t, vis_t = pl.pallas_call(
         functools.partial(
             _kernel,
             tile_h=tile_h,
             tile_w=tile_w,
+            ntx=ntx,
             vis_base_offset=vis_base_offset,
         ),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((nty * tile_h, ntx * tile_w), jnp.float32),
-            jax.ShapeDtypeStruct((nty * tile_h, ntx * tile_w), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles_pad, tpx), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles_pad, tpx), jnp.int32),
         ],
         interpret=interpret,
-    )(meta, ty, tx, setup, init_d, init_v)
+    )(meta, filled_tile, setup, init_d, init_v)
 
-    # tiles that no pair ever visited hold garbage: restore init values
-    occupied = (bins.tile_count > 0).reshape(nty, ntx)
-    occupied = jnp.repeat(jnp.repeat(occupied, tile_h, 0), tile_w, 1)
-    depth = jnp.where(occupied, depth, init_d)
-    vis = jnp.where(occupied, vis, init_v)
-    return depth[:height, :width], vis[:height, :width]
+    # tiles whose GROUP no pair ever visited hold garbage: restore init
+    group_ids = jnp.arange(n_tiles_pad, dtype=jnp.int32) // _GROUP
+    visited_groups = jnp.zeros((n_tiles_pad // _GROUP,), bool).at[
+        jnp.where(pvalid, filled_tile // _GROUP, n_tiles_pad // _GROUP)
+    ].set(True, mode="drop")
+    occupied = visited_groups[group_ids][:, None]
+    depth_t = jnp.where(occupied, depth_t, init_d)
+    vis_t = jnp.where(occupied, vis_t, init_v)
+    return from_tiles(depth_t), from_tiles(vis_t)

@@ -110,7 +110,7 @@ def render_frame(
         assets,
         vis,
         depth,
-        geom.clip,
+        geom.setup,
         inst_meshlet,
         inst_entity,
         scene.entity_normal_mat,

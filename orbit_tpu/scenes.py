@@ -1,0 +1,260 @@
+"""Benchmark scenes mirroring BASELINE.json's configs.
+
+The reference benches on DamagedHelmet / Sponza / Bistro glTF scenes,
+which are not redistributable; these deterministic procedural stand-ins
+match their *scale* (entity, triangle, meshlet, light counts) so the
+benchmark measures the same workload shape. Real glTF files load through
+orbit_tpu.assets.gltf when available.
+
+  helmet_scene   ~ config 1: one detailed PBR object + IBL
+  sponza_scene   ~ config 2/3: atrium with columns, 1 dir light (+N points)
+  bistro_scene   ~ config 4/5: street scene, deep occlusion, many meshlets
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from orbit_tpu.assets import AssetCaps, AssetStore
+from orbit_tpu.assets import procedural as proc
+from orbit_tpu.scene import (
+    LIGHT_DIRECTIONAL,
+    LIGHT_POINT,
+    LIGHT_SKY,
+    SceneBuilder,
+)
+
+
+def _std_textures(store: AssetStore, seed=0):
+    t_check = store.add_texture(proc.checker_texture(256, tiles=16), srgb=True)
+    t_noise = store.add_texture(proc.noise_texture(256, seed=seed), srgb=True)
+    t_flat_n = store.add_texture(proc.normal_map_flat(64), srgb=False)
+    return t_check, t_noise, t_flat_n
+
+
+def helmet_scene(detail: int = 48):
+    """One hero object: sphere body + torus rim + cylinder snout,
+    textured PBR materials, sky light only."""
+    store = AssetStore(
+        AssetCaps(vertices=1 << 17, meshlets=1 << 12, texture_layers=8)
+    )
+    t_check, t_noise, t_n = _std_textures(store)
+    m_shell = store.add_material(
+        base_color=(0.6, 0.55, 0.5, 1), metallic=1.0, roughness=0.35,
+        base_color_tex=t_noise, normal_tex=t_n,
+    )
+    m_rim = store.add_material(
+        base_color=(0.9, 0.75, 0.3, 1), metallic=1.0, roughness=0.2,
+    )
+    m_visor = store.add_material(
+        base_color=(0.05, 0.05, 0.06, 1), metallic=0.2, roughness=0.1,
+    )
+
+    body = proc.uv_sphere(1.0, rings=detail, sectors=detail * 2)
+    body.material = m_shell
+    rim = proc.torus(0.95, 0.12, rings=detail * 2, sides=detail // 2)
+    rim.material = m_rim
+    visor = proc.uv_sphere(0.92, rings=detail // 2, sectors=detail)
+    visor.material = m_visor
+
+    sb = SceneBuilder(entity_capacity=16, light_capacity=8)
+    b = store.add_mesh(body)
+    r = store.add_mesh(rim)
+    v = store.add_mesh(visor)
+    sb.add_entity(b)
+    sb.add_entity(r, translation=(0, 0.1, 0))
+    sb.add_entity(v, translation=(0, 0.0, 0.25), scale=0.55)
+    sb.add_light(LIGHT_SKY, intensity=1.0)
+    return store, sb
+
+
+def sponza_scene(point_lights: int = 0, seed: int = 1):
+    """Atrium: floor, colonnade (two floors), walls — heavy vertical
+    occlusion like Sponza. Optionally a field of point lights (config 3)."""
+    rng = np.random.default_rng(seed)
+    store = AssetStore(
+        AssetCaps(vertices=1 << 19, meshlets=1 << 14, texture_layers=8)
+    )
+    t_check, t_noise, t_n = _std_textures(store, seed)
+    m_floor = store.add_material(
+        base_color=(0.75, 0.72, 0.68, 1), roughness=0.8, base_color_tex=t_check
+    )
+    m_column = store.add_material(
+        base_color=(0.82, 0.78, 0.72, 1), roughness=0.7, base_color_tex=t_noise
+    )
+    m_wall = store.add_material(
+        base_color=(0.7, 0.6, 0.5, 1), roughness=0.9
+    )
+    m_cloth = store.add_material(
+        base_color=(0.6, 0.12, 0.1, 1), roughness=0.6
+    )
+
+    floor = proc.plane(40.0, segments=8); floor.material = m_floor
+    column = proc.cylinder(0.4, 4.0, sectors=24); column.material = m_column
+    wall = proc.cube(1.0); wall.material = m_wall
+    banner = proc.plane(2.0, segments=2); banner.material = m_cloth
+    ball = proc.uv_sphere(0.5, rings=16, sectors=32); ball.material = m_cloth
+
+    f = store.add_mesh(floor)
+    c = store.add_mesh(column)
+    w = store.add_mesh(wall)
+    bn = store.add_mesh(banner)
+    bl = store.add_mesh(ball)
+
+    sb = SceneBuilder(entity_capacity=1024, light_capacity=2048)
+    sb.add_entity(f)
+    # colonnade: two rows x two floors
+    for floor_i in range(2):
+        y = 2.0 + floor_i * 4.5
+        for i in range(10):
+            x = -13.5 + i * 3.0
+            for z in (-5.0, 5.0):
+                sb.add_entity(c, translation=(x, y, z))
+    # outer walls
+    for x, z, sx, sz in [
+        (0, -8, 34, 1), (0, 8, 34, 1), (-17, 0, 1, 16), (17, 0, 1, 16)
+    ]:
+        sb.add_entity(w, translation=(x, 4.5, z), scale=(sx, 9.0, sz))
+    # ceiling slabs over the side aisles (occluders)
+    for z in (-6.5, 6.5):
+        sb.add_entity(w, translation=(0, 4.2, z), scale=(34, 0.3, 3.0))
+    # hanging banners + props
+    for i in range(8):
+        x = -12 + i * 3.4
+        q = np.array([np.sin(np.pi / 4), 0, 0, np.cos(np.pi / 4)])
+        sb.add_entity(bn, translation=(x, 3.5, 0.0), rotation=q)
+    for i in range(12):
+        sb.add_entity(
+            bl,
+            translation=(
+                float(rng.uniform(-14, 14)), 0.5, float(rng.uniform(-4, 4))
+            ),
+        )
+
+    sb.add_light(LIGHT_SKY, intensity=0.6)
+    sb.add_light(
+        LIGHT_DIRECTIONAL, direction=(0.3, 1.0, 0.15),
+        color=(1.0, 0.96, 0.9), intensity=3.0, inner_radius=0.4,
+    )
+    for _ in range(point_lights):
+        pos = (
+            float(rng.uniform(-15, 15)),
+            float(rng.uniform(0.5, 7.5)),
+            float(rng.uniform(-6, 6)),
+        )
+        col = rng.uniform(0.2, 1.0, 3)
+        sb.add_light(
+            LIGHT_POINT, position=pos, color=tuple(col / col.max()),
+            intensity=float(rng.uniform(1.0, 4.0)),
+            outer_radius=float(rng.uniform(3.0, 7.0)),
+        )
+    return store, sb
+
+
+def bistro_scene(buildings: int = 48, props: int = 220, seed: int = 2,
+                 caps: AssetCaps | None = None):
+    """Street scene with deep occlusion: building rows along a street,
+    trees, props. Meshlet/instance counts sized to Bistro-exterior scale."""
+    rng = np.random.default_rng(seed)
+    store = AssetStore(
+        caps
+        or AssetCaps(
+            vertices=1 << 21, meshlets=1 << 15, meshes=64,
+            materials=32, texture_layers=16, texture_size=256,
+        )
+    )
+    t_check, t_noise, t_n = _std_textures(store, seed)
+    mats = dict(
+        road=store.add_material(
+            base_color=(0.35, 0.35, 0.36, 1), roughness=0.95,
+            base_color_tex=t_noise,
+        ),
+        facade=store.add_material(
+            base_color=(0.75, 0.65, 0.55, 1), roughness=0.8,
+            base_color_tex=t_check,
+        ),
+        roof=store.add_material(
+            base_color=(0.4, 0.2, 0.15, 1), roughness=0.7
+        ),
+        trunk=store.add_material(
+            base_color=(0.35, 0.25, 0.15, 1), roughness=0.9
+        ),
+        leaves=store.add_material(
+            base_color=(0.2, 0.45, 0.15, 1), roughness=0.8
+        ),
+        metal=store.add_material(
+            base_color=(0.6, 0.6, 0.62, 1), metallic=1.0, roughness=0.3
+        ),
+        awning=store.add_material(
+            base_color=(0.7, 0.15, 0.12, 1), roughness=0.6
+        ),
+    )
+
+    ground = proc.plane(120.0, segments=12); ground.material = mats["road"]
+    box = proc.cube(1.0); box.material = mats["facade"]
+    roofm = proc.cube(1.0); roofm.material = mats["roof"]
+    trunk = proc.cylinder(0.2, 3.0, sectors=12); trunk.material = mats["trunk"]
+    canopy = proc.uv_sphere(1.4, rings=24, sectors=48); canopy.material = mats["leaves"]
+    sphere_hi = proc.uv_sphere(0.5, rings=32, sectors=64); sphere_hi.material = mats["metal"]
+    ring = proc.torus(0.6, 0.18, rings=48, sides=24); ring.material = mats["awning"]
+    pole = proc.cylinder(0.08, 4.0, sectors=10); pole.material = mats["metal"]
+
+    g = store.add_mesh(ground)
+    bx = store.add_mesh(box)
+    rf = store.add_mesh(roofm)
+    tr = store.add_mesh(trunk)
+    cp = store.add_mesh(canopy)
+    sh = store.add_mesh(sphere_hi)
+    rg = store.add_mesh(ring)
+    pl = store.add_mesh(pole)
+
+    sb = SceneBuilder(entity_capacity=4096, light_capacity=2048)
+    sb.add_entity(g)
+    # two building rows along a bending street
+    for i in range(buildings):
+        side = -1 if i % 2 == 0 else 1
+        t = (i // 2) / max(buildings // 2 - 1, 1)
+        x = -50 + t * 100
+        z = side * float(rng.uniform(8, 14)) + np.sin(t * 3.0) * 4.0
+        w = float(rng.uniform(6, 12))
+        h = float(rng.uniform(6, 16))
+        d = float(rng.uniform(6, 10))
+        sb.add_entity(bx, translation=(x, h / 2, z), scale=(w, h, d))
+        sb.add_entity(
+            rf, translation=(x, h + 0.4, z), scale=(w * 1.1, 0.8, d * 1.1)
+        )
+    # street furniture + trees + props
+    for i in range(props):
+        t = rng.uniform()
+        x = -50 + t * 100
+        z = float(rng.uniform(-6, 6)) + np.sin(t * 3.0) * 4.0
+        kind = i % 5
+        if kind == 0:
+            sb.add_entity(tr, translation=(x, 1.5, z))
+            sb.add_entity(cp, translation=(x, 3.6, z))
+        elif kind == 1:
+            sb.add_entity(sh, translation=(x, 0.5, z))
+        elif kind == 2:
+            sb.add_entity(rg, translation=(x, 0.8, z))
+        elif kind == 3:
+            sb.add_entity(pl, translation=(x, 2.0, z))
+            sb.add_entity(sh, translation=(x, 4.2, z), scale=0.4)
+        else:
+            sb.add_entity(
+                bx, translation=(x, 0.5, z),
+                scale=(float(rng.uniform(0.5, 1.5)), 1.0, 1.0),
+            )
+
+    sb.add_light(LIGHT_SKY, intensity=0.7)
+    sb.add_light(
+        LIGHT_DIRECTIONAL, direction=(0.4, 0.8, 0.3),
+        color=(1.0, 0.95, 0.85), intensity=3.0, inner_radius=0.5,
+    )
+    return store, sb
+
+
+BENCH_CAMERAS = {
+    "helmet": dict(eye=(0.0, 0.3, 3.0), target=(0.0, 0.0, 0.0)),
+    "sponza": dict(eye=(-14.0, 2.2, 0.0), target=(10.0, 2.0, 0.5)),
+    "bistro": dict(eye=(-48.0, 2.5, 0.0), target=(20.0, 1.5, 1.0)),
+}

@@ -103,22 +103,26 @@ def shade(
     surface: Surface,
     gbuf: GBuffer,
     scene,
-    num_lights: int,
+    light_slots,
     eye,
     env: Optional[ibl_mod.EnvironmentMap],
     luminance_cutoff: float = 0.25,
     shadow_fn: Optional[Callable] = None,
     light_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Accumulate radiance over the first `num_lights` light slots
-    (forward.frag:368-487). `light_mask` [N, num_lights] optionally gates
-    lights per pixel (clustered shading). Returns [N,3] HDR linear.
+    """Accumulate radiance over the given light slots (forward.frag:368-487).
+
+    light_slots: iterable of static slot indices (an int count also works
+    and means range(count)). When clustered shading handles point lights,
+    pass only the sky/directional slots here. Returns [N,3] HDR linear.
     """
+    if isinstance(light_slots, int):
+        light_slots = range(light_slots)
     v = normalize(eye[None, :] - gbuf.world_pos)
     n = surface.normal
     light_sum = surface.emissive
 
-    for li in range(num_lights):
+    for li in light_slots:
         kind = scene.light_type[li]
         color = scene.light_color[li]
 

@@ -17,7 +17,6 @@ import jax.numpy as jnp
 
 from orbit_tpu.math.packing import unpack_normal_tangent
 from orbit_tpu.math.transforms import normalize
-from orbit_tpu.raster.geometry import clip_to_screen
 from orbit_tpu.raster.kernel_common import VIS_TRI_BITS
 
 
@@ -44,7 +43,7 @@ def resolve_gbuffer(
     assets,
     vis,
     depth,
-    clip,  # [I, 64, 4] from the geometry stage
+    setup,  # [I, 64, 12] geometry-stage functionals (homogeneous barys)
     inst_meshlet,  # [I] i32
     inst_entity,  # [I] i32
     entity_normal_mat,  # [E, 3, 3] world-space normal matrices
@@ -67,48 +66,27 @@ def resolve_gbuffer(
     lv = assets.mlet_tris[meshlet, tri].astype(jnp.int32)  # [N,3]
     gv = jnp.take_along_axis(assets.mlet_vertices[meshlet], lv, axis=1)  # [N,3]
 
-    # clip-space corners from the geometry buffer: [N,3,4]
-    c = jnp.take_along_axis(
-        clip[slot], lv[..., None].repeat(4, axis=-1), axis=1
-    )
-    x, y, _, w = clip_to_screen(c, width, height)  # [N,3] each
-
     # pixel centers
     px = (jnp.arange(n, dtype=jnp.int32) % W).astype(jnp.float32) + 0.5
     py = (jnp.arange(n, dtype=jnp.int32) // W).astype(jnp.float32) + 0.5
 
-    # unnormalized screen barycentrics: b_i = cross(e_next, p - v_next)
-    def edge_terms(xa, ya, xb, yb):
-        # E(p) = (xb-xa)(py-ya) - (yb-ya)(px-xa): gradient (-(yb-ya), xb-xa)
-        gx = -(yb - ya)
-        gy = xb - xa
-        e = gx * (px - xa) + gy * (py - ya)
-        return e, gx, gy
-
-    e0, g0x, g0y = edge_terms(x[:, 1], y[:, 1], x[:, 2], y[:, 2])
-    e1, g1x, g1y = edge_terms(x[:, 2], y[:, 2], x[:, 0], y[:, 0])
-    e2, g2x, g2y = edge_terms(x[:, 0], y[:, 0], x[:, 1], y[:, 1])
-
-    invw = 1.0 / jnp.maximum(w, 1e-12)
-    b = jnp.stack([e0, e1, e2], axis=-1) * invw  # [N,3]
-    bsum = jnp.sum(b, axis=-1, keepdims=True)
-    lam = b / jnp.where(jnp.abs(bsum) < 1e-20, 1.0, bsum)
-
-    # derivative of perspective barycentrics
-    dbx = jnp.stack([g0x, g1x, g2x], axis=-1) * invw
-    dby = jnp.stack([g0y, g1y, g2y], axis=-1) * invw
-    dbx_sum = jnp.sum(dbx, axis=-1, keepdims=True)
-    dby_sum = jnp.sum(dby, axis=-1, keepdims=True)
+    # the raster setup coefficients ARE unnormalized perspective-correct
+    # barycentric functionals (triangle_setup): b_i = E_i(p) / sum E_j(p)
+    co = setup[slot, tri]  # [N,12]
+    ga = co[:, 0:9:3]  # [N,3] x-gradients
+    gb = co[:, 1:9:3]
+    gc = co[:, 2:9:3]
+    alpha = ga * px[:, None] + gb * py[:, None] + gc  # [N,3]
+    asum = jnp.sum(alpha, axis=-1, keepdims=True)
+    inv_asum = 1.0 / jnp.where(jnp.abs(asum) < 1e-20, 1.0, asum)
+    lam = alpha * inv_asum
+    ga_sum = jnp.sum(ga, axis=-1, keepdims=True)
+    gb_sum = jnp.sum(gb, axis=-1, keepdims=True)
 
     uvs = assets.uvs[gv]  # [N,3,2]
     uv = jnp.einsum("ni,nic->nc", lam, uvs)
-    inv_bsum = 1.0 / jnp.where(jnp.abs(bsum) < 1e-20, 1.0, bsum)
-    duv_dx = (
-        jnp.einsum("ni,nic->nc", dbx, uvs) - uv * dbx_sum
-    ) * inv_bsum
-    duv_dy = (
-        jnp.einsum("ni,nic->nc", dby, uvs) - uv * dby_sum
-    ) * inv_bsum
+    duv_dx = (jnp.einsum("ni,nic->nc", ga, uvs) - uv * ga_sum) * inv_asum
+    duv_dy = (jnp.einsum("ni,nic->nc", gb, uvs) - uv * gb_sum) * inv_asum
 
     # normals/tangents: unpack then interpolate (model space), then to world
     n_m, t_m = unpack_normal_tangent(assets.normals_packed[gv])  # [N,3,3/4]
