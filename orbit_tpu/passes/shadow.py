@@ -35,7 +35,10 @@ class ShadowSettings:
     split_lambda: float = 0.8
     blocker_search_radius: float = 0.3
     normal_bias_scale: float = 2.0
-    oriented_bias: float = 0.02
+    # world-space push towards the light; must cover the world-position
+    # reconstruction error of the deferred resolve (depth-buffer f32
+    # round-trip), which is larger than a forward renderer's needs
+    oriented_bias: float = 0.08
     blocker_samples: int = 12
     pcf_samples: int = 32
     light_size: float = 0.4
@@ -94,7 +97,7 @@ def cascade_views(
         snap_y = jnp.floor(cy / texel) * texel - cy
         center = center + s * snap_x + u * snap_y
 
-        zextra = radius * 4.0  # capture occluders behind the subfrustum
+        zextra = radius * 1.5  # capture occluders behind the subfrustum
         eye = center + ld * (radius + zextra)
         view = make_ortho_view(
             eye, center, up,
@@ -311,7 +314,14 @@ def shadow_factor(
         * settings.normal_bias_scale
         * jnp.clip(1.0 - n_dot_l, 0.0, 1.0)
     )[:, None] * normal
-    oriented = jnp.where(n_dot_l > 0.0, -settings.oriented_bias, settings.oriented_bias)
+    # push lit surfaces TOWARD the light: the deferred world-position
+    # reconstruction (depth round-trip) puts points slightly inside the
+    # surface, so unlike the reference's forward path (which biases away
+    # from the light to prevent leaks, forward.frag get_oriented_bias)
+    # the net bias here must raise the receiver's light-space depth
+    oriented = jnp.where(
+        n_dot_l > 0.0, settings.oriented_bias, -settings.oriented_bias
+    )
     pos = gbuf_world_pos + normal_off + oriented[:, None] * light_dir[None, :]
 
     ph = jnp.concatenate([pos, jnp.ones_like(pos[:, :1])], -1)

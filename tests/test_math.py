@@ -43,14 +43,20 @@ def test_rotational_tangent_roundtrip():
 
 
 def test_pack_normal_tangent_roundtrip():
-    n = jnp.asarray(TEST_NORMALS)
+    # avoid |n_z| ~ 0: the reference-orthonormal-vector sign flips at
+    # n_z == 0 (Pixar ONB), so int8 quantization across that boundary
+    # legitimately rotates the decoded tangent (same artifact exists in
+    # the reference's encoding, math.rs:227-258)
+    sel = np.abs(TEST_NORMALS[:, 2]) > 0.01
+    normals = TEST_NORMALS[sel]
+    n = jnp.asarray(normals)
     ref = om.reference_orthonormal_vector(n)
-    t4 = jnp.concatenate([ref, jnp.ones((len(TEST_NORMALS), 1))], axis=-1)
+    t4 = jnp.concatenate([ref, jnp.ones((len(normals), 1))], axis=-1)
     packed = om.pack_normal_tangent(n, t4)
     assert packed.dtype == jnp.int8
     n2, t2 = om.unpack_normal_tangent(packed)
     # int8 quantization: tolerances are coarse
-    np.testing.assert_allclose(np.asarray(n2), TEST_NORMALS, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(n2), normals, atol=2e-2)
     np.testing.assert_allclose(np.asarray(t2[:, :3]), np.asarray(ref), atol=5e-2)
 
 
