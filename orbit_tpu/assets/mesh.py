@@ -103,6 +103,35 @@ def _any_orthonormal(n: np.ndarray) -> np.ndarray:
     return np.stack([b, sign + n[:, 1] ** 2 * a, -n[:, 1]], axis=-1)
 
 
+def pack_normal_tangent_np(normal: np.ndarray, tangent4: np.ndarray) -> np.ndarray:
+    """Host numpy twin of math.packing.pack_normal_tangent (asset baking
+    must stay off-device: device->host readbacks poison dispatch latency
+    in tunneled TPU environments, and load-time work belongs on the CPU).
+    """
+
+    def norm(v):
+        return v / np.maximum(
+            np.linalg.norm(v, axis=-1, keepdims=True), 1e-20
+        )
+
+    n = norm(normal)
+    # octahedral encode
+    m = n / np.sum(np.abs(n), axis=-1, keepdims=True)
+    xy = m[:, :2]
+    wrap = (1.0 - np.abs(xy[:, ::-1])) * np.where(xy >= 0.0, 1.0, -1.0)
+    oct_xy = np.where(m[:, 2:3] >= 0.0, xy, wrap)
+    # rotational tangent angle
+    t = norm(tangent4[:, :3])
+    ref = norm(_any_orthonormal(n))
+    alpha = np.arctan2(
+        np.sum(np.cross(t, ref) * n, axis=-1), np.sum(t * ref, axis=-1)
+    ) / np.pi
+    packed = np.concatenate(
+        [oct_xy, alpha[:, None], tangent4[:, 3:4]], axis=-1
+    )
+    return np.round(np.clip(packed, -1.0, 1.0) * 127.0).astype(np.int8)
+
+
 def compute_aabb(positions: np.ndarray) -> np.ndarray:
     return np.stack([positions.min(0), positions.max(0)]).astype(np.float32)
 

@@ -22,6 +22,7 @@ from orbit_tpu.assets.mesh import (
     compute_aabb,
     compute_bounding_sphere,
     dedupe_vertices,
+    pack_normal_tangent_np,
     spatial_sort_triangles,
 )
 from orbit_tpu.assets.meshlet import build_meshlets
@@ -108,10 +109,8 @@ class AssetStore:
         h = self.h
         h["positions"][v_base : v_base + n_verts] = mesh.positions
         h["uvs"][v_base : v_base + n_verts] = mesh.uvs
-        h["normals_packed"][v_base : v_base + n_verts] = np.asarray(
-            pack_normal_tangent(
-                jnp.asarray(mesh.normals), jnp.asarray(mesh.tangents)
-            )
+        h["normals_packed"][v_base : v_base + n_verts] = pack_normal_tangent_np(
+            mesh.normals, mesh.tangents
         )
 
         tri_mat = mesh.tri_material

@@ -117,13 +117,11 @@ def expand_instances(
     Exact, atomic-free: counts -> cumsum -> inverse lookup per output slot.
     Returns (inst_entity [C], inst_meshlet [C], inst_valid [C], overflow).
     """
+    from orbit_tpu.utils import gather2
+
     mesh = jnp.maximum(entity_mesh, 0)
-    lod_off = jnp.take_along_axis(
-        assets.mesh_lod_offset[mesh], lod_index[:, None], axis=1
-    )[:, 0]
-    lod_cnt = jnp.take_along_axis(
-        assets.mesh_lod_count[mesh], lod_index[:, None], axis=1
-    )[:, 0]
+    lod_off = gather2(assets.mesh_lod_offset, mesh, lod_index)
+    lod_cnt = gather2(assets.mesh_lod_count, mesh, lod_index)
     counts = jnp.where(should_draw, lod_cnt, 0)
     offsets = jnp.cumsum(counts) - counts
     total = offsets[-1] + counts[-1]

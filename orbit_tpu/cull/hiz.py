@@ -77,10 +77,12 @@ def sample_pyramid_min(pyr: DepthPyramid, uv, level):
     ws = jnp.asarray(np.array([s[1] for s in pyr.sizes], np.int32))
     offs = jnp.asarray(np.array(pyr.offsets, np.int32))
     n = len(pyr.sizes)
+    from orbit_tpu.utils import gather1
+
     level = jnp.clip(level, 0, n - 1)
-    h = hs[level]
-    w = ws[level]
-    off = offs[level]
+    h = gather1(hs, level)
+    w = gather1(ws, level)
+    off = gather1(offs, level)
 
     x = uv[..., 0] * w.astype(jnp.float32) - 0.5
     y = uv[..., 1] * h.astype(jnp.float32) - 0.5
@@ -90,7 +92,9 @@ def sample_pyramid_min(pyr: DepthPyramid, uv, level):
     y1 = jnp.minimum(y0 + 1, h - 1)
 
     def at(xx, yy):
-        return pyr.data[off + yy * w + xx]
+        from orbit_tpu.utils import gather1 as _g1
+
+        return _g1(pyr.data, off + yy * w + xx)
 
     return jnp.minimum(
         jnp.minimum(at(x0, y0), at(x1, y0)),

@@ -48,7 +48,9 @@ def initial_state(num_entities_cap: int, meshlet_bits_total: int) -> VisibilityS
 
 
 def gather_meshlet_bits(state, vis_offsets, inst_entity, inst_local, inst_valid):
-    idx = vis_offsets[inst_entity] + inst_local
+    # vis_offsets arrives as host numpy; jnp.asarray at trace time bakes a
+    # (safe) program constant rather than a (poisonous) device constant
+    idx = jnp.asarray(vis_offsets)[inst_entity] + inst_local
     idx = jnp.clip(idx, 0, state.meshlet_visible.shape[0] - 1)
     return jnp.where(inst_valid, state.meshlet_visible[idx], False)
 
@@ -56,7 +58,7 @@ def gather_meshlet_bits(state, vis_offsets, inst_entity, inst_local, inst_valid)
 def scatter_meshlet_bits(
     state, vis_offsets, inst_entity, inst_local, inst_valid, new_bits
 ):
-    idx = vis_offsets[inst_entity] + inst_local
+    idx = jnp.asarray(vis_offsets)[inst_entity] + inst_local
     idx = jnp.where(inst_valid, idx, state.meshlet_visible.shape[0])  # drop
     mv = state.meshlet_visible.at[idx].set(new_bits, mode="drop")
     return VisibilityState(

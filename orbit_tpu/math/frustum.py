@@ -15,7 +15,11 @@ import jax.numpy as jnp
 from orbit_tpu.math.transforms import normalize
 
 # 8 corners of reverse-Z NDC (z in [0,1]); reference math.rs:7-16.
-NDC_BOUNDS = jnp.array(
+# numpy (not jnp): module-level device arrays captured in jits poison
+# dispatch on this TPU stack; numpy constants are safe.
+import numpy as _np
+
+NDC_BOUNDS = _np.array(
     [
         [-1.0, -1.0, 0.0, 1.0],
         [1.0, -1.0, 0.0, 1.0],
@@ -26,7 +30,7 @@ NDC_BOUNDS = jnp.array(
         [1.0, 1.0, 1.0, 1.0],
         [-1.0, 1.0, 1.0, 1.0],
     ],
-    jnp.float32,
+    _np.float32,
 )
 
 

@@ -183,25 +183,30 @@ def shade_clustered_points(
     from orbit_tpu.math.transforms import normalize
     from orbit_tpu.shade import brdf
 
+    from orbit_tpu.utils import gather1
+
     n_px = cluster_ids.shape[0]
     v = normalize(eye[None, :] - gbuf.world_pos)
-    counts = clusters.light_count[cluster_ids]  # [N]
+    counts = gather1(clusters.light_count, cluster_ids)  # [N]
+
+    cap = clusters.light_index.shape[1]
+    light_index_flat = clusters.light_index.reshape(-1)
 
     def body(k, acc):
-        li = clusters.light_index[cluster_ids, k]  # [N]
+        li = gather1(light_index_flat, cluster_ids * cap + k)  # [N]
         live = k < counts
-        delta = scene.light_pos[li] - gbuf.world_pos
+        delta = gather1(scene.light_pos, li) - gbuf.world_pos
         dist = jnp.linalg.norm(delta, axis=-1)
         ldir = delta / jnp.maximum(dist, 1e-12)[:, None]
-        dist = jnp.maximum(dist, scene.light_inner_radius[li])
+        dist = jnp.maximum(dist, gather1(scene.light_inner_radius, li))
         att = brdf.point_attenuation(
             dist,
-            scene.light_intensity[li],
+            gather1(scene.light_intensity, li),
             luminance_cutoff,
-            scene.light_outer_radius[li],
+            gather1(scene.light_outer_radius, li),
         )
         contrib = brdf.calculate_light(
-            v, ldir, scene.light_color[li], att,
+            v, ldir, gather1(scene.light_color, li), att,
             surface.albedo, surface.normal, surface.metallic,
             surface.roughness,
         )
@@ -215,7 +220,9 @@ def cluster_heatmap(clusters: ClusterData, cluster_ids, shape):
     """Debug render mode 8 (forward.frag:563-566)."""
     from orbit_tpu.math.color import heat_colormap
 
-    counts = clusters.light_count[cluster_ids].astype(jnp.float32)
+    from orbit_tpu.utils import gather1
+
+    counts = gather1(clusters.light_count, cluster_ids).astype(jnp.float32)
     return heat_colormap(jnp.clip(counts / 32.0, 0.0, 1.0)).reshape(
         shape + (3,)
     )

@@ -179,6 +179,8 @@ def _vogel_disk(n: int):
 
 
 def _shadow_bilinear(shadow_depth, cascade, u, v, res):
+    from orbit_tpu.utils import gather3
+
     x = u * res - 0.5
     y = v * res - 0.5
     x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, res - 1)
@@ -187,10 +189,10 @@ def _shadow_bilinear(shadow_depth, cascade, u, v, res):
     y1 = jnp.minimum(y0 + 1, res - 1)
     fx = jnp.clip(x - x0, 0, 1)
     fy = jnp.clip(y - y0, 0, 1)
-    d00 = shadow_depth[cascade, y0, x0]
-    d10 = shadow_depth[cascade, y0, x1]
-    d01 = shadow_depth[cascade, y1, x0]
-    d11 = shadow_depth[cascade, y1, x1]
+    d00 = gather3(shadow_depth, cascade, y0, x0)
+    d10 = gather3(shadow_depth, cascade, y0, x1)
+    d01 = gather3(shadow_depth, cascade, y1, x0)
+    d11 = gather3(shadow_depth, cascade, y1, x1)
     return (d00 * (1 - fx) + d10 * fx) * (1 - fy) + (
         d01 * (1 - fx) + d11 * fx
     ) * fy
@@ -198,6 +200,8 @@ def _shadow_bilinear(shadow_depth, cascade, u, v, res):
 
 def _gather_cmp(shadow_depth, cascade, u, v, z, res):
     """textureGather + GREATER_OR_EQUAL compare, averaged (one PCF tap)."""
+    from orbit_tpu.utils import gather3
+
     x = jnp.clip(u * res - 0.5, 0.0, res - 1.0)
     y = jnp.clip(v * res - 0.5, 0.0, res - 1.0)
     x0 = jnp.floor(x).astype(jnp.int32)
@@ -205,10 +209,10 @@ def _gather_cmp(shadow_depth, cascade, u, v, z, res):
     x1 = jnp.minimum(x0 + 1, res - 1)
     y1 = jnp.minimum(y0 + 1, res - 1)
     hits = (
-        (z >= shadow_depth[cascade, y0, x0]).astype(jnp.float32)
-        + (z >= shadow_depth[cascade, y0, x1])
-        + (z >= shadow_depth[cascade, y1, x0])
-        + (z >= shadow_depth[cascade, y1, x1])
+        (z >= gather3(shadow_depth, cascade, y0, x0)).astype(jnp.float32)
+        + (z >= gather3(shadow_depth, cascade, y0, x1))
+        + (z >= gather3(shadow_depth, cascade, y1, x0))
+        + (z >= gather3(shadow_depth, cascade, y1, x1))
     )
     return hits * 0.25
 
@@ -229,8 +233,10 @@ def sample_shadow_pcss(
     v = ndc[:, 1] * -0.5 + 0.5
     z = ndc[:, 2]
 
+    from orbit_tpu.utils import gather1 as _g1
+
     inv_world = 1.0 / jnp.maximum(
-        shadows.world_sizes[cascade], 1e-6
+        _g1(shadows.world_sizes, cascade), 1e-6
     )  # [N]
     theta = interleaved_gradient_noise(pixel_xy) * 2.0 * np.pi
     c, s = jnp.cos(theta), jnp.sin(theta)
@@ -307,8 +313,10 @@ def shadow_factor(
     bias (forward.frag:424-445). Returns [N] lit factor in [0,1]."""
     cascade, any_inside = select_cascade(shadows, gbuf_world_pos)
 
+    from orbit_tpu.utils import gather1 as _g1
+
     n_dot_l = jnp.sum(normal * light_dir[None, :], axis=-1)
-    texel_world = shadows.world_sizes[cascade] / shadows.resolution
+    texel_world = _g1(shadows.world_sizes, cascade) / shadows.resolution
     normal_off = (
         texel_world
         * settings.normal_bias_scale
@@ -324,8 +332,10 @@ def shadow_factor(
     )
     pos = gbuf_world_pos + normal_off + oriented[:, None] * light_dir[None, :]
 
+    from orbit_tpu.utils import gather1
+
     ph = jnp.concatenate([pos, jnp.ones_like(pos[:, :1])], -1)
-    clip = jnp.einsum("nab,nb->na", shadows.matrices[cascade], ph)
+    clip = jnp.einsum("nab,nb->na", gather1(shadows.matrices, cascade), ph)
     lit = sample_shadow_pcss(
         shadows, cascade, clip, pixel_xy, light_inner_radius, settings
     )

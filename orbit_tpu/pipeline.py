@@ -90,7 +90,11 @@ class Pipeline:
         offsets, total = build_visibility_layout(
             assets_host_lod_count, entity_mesh_host, scene_meta.num_entities
         )
-        self.vis_offsets = jnp.asarray(offsets)
+        # keep as NUMPY: a device array closed over by the jitted frame
+        # becomes an executable-embedded device constant, which permanently
+        # degrades dispatch on this TPU stack (numpy constants are baked
+        # into the program and are safe)
+        self.vis_offsets = np.asarray(offsets)
         self.vis_total = total
 
     def initial_state(self) -> VisibilityState:

@@ -212,8 +212,10 @@ def triangle_setup(
 
 
 def _gather3(attr, tris):
-    """attr: [I, 64]; tris: [I, T, 3] -> [I, T, 3]."""
-    I, T, _ = tris.shape
-    flat = tris.reshape(I, T * 3)
-    out = jnp.take_along_axis(attr, flat, axis=1)
-    return out.reshape(I, T, 3)
+    """attr: [I, 64]; tris: [I, T, 3] -> [I, T, 3] (flat fast-path gather)."""
+    from orbit_tpu.utils import gather1
+
+    I = tris.shape[0]
+    n = attr.shape[1]
+    rows = jnp.arange(I, dtype=tris.dtype)[:, None, None]
+    return gather1(attr.reshape(-1), rows * n + tris)

@@ -36,13 +36,16 @@ class RenderSettings:
     instance_capacity: int = 1 << 13
 
 
-def static_instance_list(assets, scene_arrays, scene_meta, capacity):
+def static_instance_list(store, scene_meta, capacity):
     """Host-side: expand all entities' LOD-0 meshlets into fixed-size
     (entity, meshlet) instance arrays. This is the no-culling fallback; the
-    cull module replaces it with on-device selection."""
-    entity_mesh = np.asarray(scene_arrays.entity_mesh)[: scene_meta.num_entities]
-    lod_off = np.asarray(assets.mesh_lod_offset)
-    lod_cnt = np.asarray(assets.mesh_lod_count)
+    cull module replaces it with on-device selection. Takes the host-side
+    AssetStore (not device arrays) — zero device readbacks."""
+    entity_mesh = np.asarray(
+        scene_meta.entity_mesh_host[: scene_meta.num_entities]
+    )
+    lod_off = store.h["mesh_lod_offset"]
+    lod_cnt = store.h["mesh_lod_count"]
     ents, mlets = [], []
     for e, m in enumerate(entity_mesh):
         if m < 0:

@@ -15,8 +15,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from orbit_tpu.math.transforms import compose_trs
-
 LIGHT_SKY = 0
 LIGHT_DIRECTIONAL = 1
 LIGHT_POINT = 2
@@ -61,6 +59,27 @@ class SceneMeta:
     entity_capacity: int = 0
     light_capacity: int = 0
     light_types: tuple = ()  # host-side copy for trace-time branching
+    # host copy of entity->mesh mapping: avoids device readbacks (which
+    # poison dispatch latency on tunneled TPUs) in pipeline/instance setup
+    entity_mesh_host: tuple = ()
+
+
+def _compose_trs_np(t, q, s):
+    """Host numpy TRS (device readbacks in setup code poison dispatch
+    latency on tunneled TPUs — scene building must stay on the CPU)."""
+    x, y, z, w = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    x2, y2, z2 = x + x, y + y, z + z
+    xx, yy, zz = x * x2, y * y2, z * z2
+    xy, xz, yz = x * y2, x * z2, y * z2
+    wx, wy, wz = w * x2, w * y2, w * z2
+    r = np.empty((len(q), 3, 3), np.float32)
+    r[:, 0, 0] = 1 - (yy + zz); r[:, 0, 1] = xy - wz; r[:, 0, 2] = xz + wy
+    r[:, 1, 0] = xy + wz; r[:, 1, 1] = 1 - (xx + zz); r[:, 1, 2] = yz - wx
+    r[:, 2, 0] = xz - wy; r[:, 2, 1] = yz + wx; r[:, 2, 2] = 1 - (xx + yy)
+    m = np.tile(np.eye(4, dtype=np.float32), (len(q), 1, 1))
+    m[:, :3, :3] = r * s[:, None, :]
+    m[:, :3, 3] = t
+    return m
 
 
 class SceneBuilder:
@@ -121,7 +140,7 @@ class SceneBuilder:
             t = np.stack(self.translations)
             r = np.stack(self.rotations)
             s = np.stack(self.scales)
-            model[:ne] = np.asarray(compose_trs(t, r, s))
+            model[:ne] = _compose_trs_np(t, r, s)
         normal_mat = np.linalg.inv(model[:, :3, :3]).transpose(0, 2, 1)
 
         mesh = np.full(E, -1, np.int32)
@@ -162,5 +181,6 @@ class SceneBuilder:
             entity_capacity=E,
             light_capacity=L,
             light_types=tuple(int(l["kind"]) for l in self.lights),
+            entity_mesh_host=tuple(int(m) for m in mesh),
         )
         return arrays, meta

@@ -104,10 +104,12 @@ def sample_cube(cube, dirs):
     y1 = jnp.minimum(y0 + 1, res - 1)
     fx = jnp.clip(x - x0, 0.0, 1.0)[..., None]
     fy = jnp.clip(y - y0, 0.0, 1.0)[..., None]
-    c00 = cube[face, y0, x0]
-    c10 = cube[face, y0, x1]
-    c01 = cube[face, y1, x0]
-    c11 = cube[face, y1, x1]
+    from orbit_tpu.utils import gather3
+
+    c00 = gather3(cube, face, y0, x0)
+    c10 = gather3(cube, face, y0, x1)
+    c01 = gather3(cube, face, y1, x0)
+    c11 = gather3(cube, face, y1, x1)
     return (c00 * (1 - fx) + c10 * fx) * (1 - fy) + (
         c01 * (1 - fx) + c11 * fx
     ) * fy
@@ -128,10 +130,12 @@ def sample_equirect(img, dirs):
     x0w = jnp.mod(x0, w)
     x1w = jnp.mod(x0 + 1, w)
     y1 = jnp.minimum(y0 + 1, h - 1)
-    c00 = img[y0, x0w]
-    c10 = img[y0, x1w]
-    c01 = img[y1, x0w]
-    c11 = img[y1, x1w]
+    from orbit_tpu.utils import gather2
+
+    c00 = gather2(img, y0, x0w)
+    c10 = gather2(img, y0, x1w)
+    c01 = gather2(img, y1, x0w)
+    c11 = gather2(img, y1, x1w)
     return (c00 * (1 - fx) + c10 * fx) * (1 - fy) + (
         c01 * (1 - fx) + c11 * fx
     ) * fy
@@ -330,7 +334,9 @@ def sample_specular(env: EnvironmentMap, dirs, roughness):
         fy = jnp.clip(y - y0, 0.0, 1.0)[..., None]
 
         def at(xx, yy):
-            return env.spec_data[face, off + yy * res + xx]
+            from orbit_tpu.utils import gather2
+
+            return gather2(env.spec_data, face, off + yy * res + xx)
 
         return (at(x0, y0) * (1 - fx) + at(x1, y0) * fx) * (1 - fy) + (
             at(x0, y1) * (1 - fx) + at(x1, y1) * fx
@@ -354,7 +360,11 @@ def sample_brdf_lut(env: EnvironmentMap, n_dot_v, roughness):
     y1 = jnp.minimum(y0 + 1, res - 1)
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
+    from orbit_tpu.utils import gather2
+
     l = env.brdf_lut
-    return (l[y0, x0] * (1 - fx) + l[y0, x1] * fx) * (1 - fy) + (
-        l[y1, x0] * (1 - fx) + l[y1, x1] * fx
+    return (
+        gather2(l, y0, x0) * (1 - fx) + gather2(l, y0, x1) * fx
+    ) * (1 - fy) + (
+        gather2(l, y1, x0) * (1 - fx) + gather2(l, y1, x1) * fx
     ) * fy

@@ -44,12 +44,14 @@ class Surface:
 
 def evaluate_material(assets, gbuf: GBuffer, ssao: Optional[jax.Array] = None) -> Surface:
     tex_size = size_from_atlas(assets.tex_data.shape[1])
+    from orbit_tpu.utils import gather1
+
     mat = gbuf.material
-    base = assets.mat_base_color[mat]
-    metallic = assets.mat_metallic[mat]
-    roughness = assets.mat_roughness[mat]
-    emissive = assets.mat_emissive[mat]
-    tex = assets.mat_tex[mat]  # [N,5]
+    base = gather1(assets.mat_base_color, mat)
+    metallic = gather1(assets.mat_metallic, mat)
+    roughness = gather1(assets.mat_roughness, mat)
+    emissive = gather1(assets.mat_emissive, mat)
+    tex = gather1(assets.mat_tex, mat)  # [N,5]
 
     def sample_slot(slot):
         layer = tex[:, slot]

@@ -60,11 +60,14 @@ def resolve_gbuffer(
     packed = jnp.maximum(visf - 1, 0)
     slot = packed >> VIS_TRI_BITS
     tri = packed & ((1 << VIS_TRI_BITS) - 1)
-    meshlet = inst_meshlet[slot]
-    entity = inst_entity[slot]
+    from orbit_tpu.utils import gather1, gather2
 
-    lv = assets.mlet_tris[meshlet, tri].astype(jnp.int32)  # [N,3]
-    gv = jnp.take_along_axis(assets.mlet_vertices[meshlet], lv, axis=1)  # [N,3]
+    meshlet = gather1(inst_meshlet, slot)
+    entity = gather1(inst_entity, slot)
+
+    lv = gather2(assets.mlet_tris, meshlet, tri).astype(jnp.int32)  # [N,3]
+    nmv = assets.mlet_vertices.shape[1]
+    gv = gather1(assets.mlet_vertices.reshape(-1), meshlet[:, None] * nmv + lv)  # [N,3]
 
     # pixel centers
     px = (jnp.arange(n, dtype=jnp.int32) % W).astype(jnp.float32) + 0.5
@@ -72,7 +75,7 @@ def resolve_gbuffer(
 
     # the raster setup coefficients ARE unnormalized perspective-correct
     # barycentric functionals (triangle_setup): b_i = E_i(p) / sum E_j(p)
-    co = setup[slot, tri]  # [N,12]
+    co = gather2(setup, slot, tri)  # [N,12]
     ga = co[:, 0:9:3]  # [N,3] x-gradients
     gb = co[:, 1:9:3]
     gc = co[:, 2:9:3]
@@ -83,17 +86,17 @@ def resolve_gbuffer(
     ga_sum = jnp.sum(ga, axis=-1, keepdims=True)
     gb_sum = jnp.sum(gb, axis=-1, keepdims=True)
 
-    uvs = assets.uvs[gv]  # [N,3,2]
+    uvs = gather1(assets.uvs, gv)  # [N,3,2]
     uv = jnp.einsum("ni,nic->nc", lam, uvs)
     duv_dx = (jnp.einsum("ni,nic->nc", ga, uvs) - uv * ga_sum) * inv_asum
     duv_dy = (jnp.einsum("ni,nic->nc", gb, uvs) - uv * gb_sum) * inv_asum
 
     # normals/tangents: unpack then interpolate (model space), then to world
-    n_m, t_m = unpack_normal_tangent(assets.normals_packed[gv])  # [N,3,3/4]
+    n_m, t_m = unpack_normal_tangent(gather1(assets.normals_packed, gv))  # [N,3,3/4]
     nrm_model = jnp.einsum("ni,nic->nc", lam, n_m)
     tan_model = jnp.einsum("ni,nic->nc", lam, t_m[..., :3])
     bit_sign = jnp.sum(lam * t_m[..., 3], axis=-1, keepdims=True)
-    nm = entity_normal_mat[entity]  # [N,3,3]
+    nm = gather1(entity_normal_mat, entity)  # [N,3,3]
     normal = normalize(jnp.einsum("nab,nb->na", nm, nrm_model))
     tangent = normalize(jnp.einsum("nab,nb->na", nm, tan_model))
     tangent4 = jnp.concatenate([tangent, jnp.sign(bit_sign + 1e-20)], axis=-1)
@@ -105,7 +108,7 @@ def resolve_gbuffer(
     wp = ndc @ inv_view_proj.T
     world_pos = wp[:, :3] / jnp.where(jnp.abs(wp[:, 3:4]) < 1e-20, 1.0, wp[:, 3:4])
 
-    material = assets.mlet_material[meshlet]
+    material = gather1(assets.mlet_material, meshlet)
     return GBuffer(
         valid=valid,
         world_pos=world_pos,

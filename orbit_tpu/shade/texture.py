@@ -43,8 +43,10 @@ def sample_bilinear_mip(tex_data, tex_srgb, layer, uv, k, tex_size):
     sizes = jnp.asarray(
         np.array([tex_size >> m for m in range(num_mips(tex_size))], np.int32)
     )
-    size = sizes[k]  # [N]
-    off = offs[k]
+    from orbit_tpu.utils import gather1
+
+    size = gather1(sizes, k)  # [N]
+    off = gather1(offs, k)
     t = uv * size[..., None].astype(jnp.float32) - 0.5
     i0 = jnp.floor(t).astype(jnp.int32)
     f = t - i0
@@ -54,9 +56,15 @@ def sample_bilinear_mip(tex_data, tex_srgb, layer, uv, k, tex_size):
     y1 = _wrap(i0[..., 1] + 1, size)
 
     def fetch(x, y):
+        from orbit_tpu.utils import gather2
+
         addr = off + y * size + x
-        texel = tex_data[layer, addr].astype(jnp.float32) * (1.0 / 255.0)
-        srgb = tex_srgb[layer]
+        texel = gather2(tex_data, layer, addr).astype(jnp.float32) * (
+            1.0 / 255.0
+        )
+        from orbit_tpu.utils import gather1 as _g1
+
+        srgb = _g1(tex_srgb, layer)
         rgb = jnp.where(
             srgb[..., None], srgb_to_linear(texel[..., :3]), texel[..., :3]
         )

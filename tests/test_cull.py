@@ -57,7 +57,7 @@ def _render_n(world, cull_kw, frames=1):
     cfg = _pipeline(store, smeta, **cull_kw)
     pipe = Pipeline(
         cfg, ameta, smeta,
-        store.h["mesh_lod_count"], np.asarray(scene.entity_mesh),
+        store.h["mesh_lod_count"], smeta.entity_mesh_host,
     )
     state = pipe.initial_state()
     view = make_perspective_view(
@@ -115,7 +115,7 @@ def test_expand_instances_exact(world):
     ie, im, il, iv = map(np.asarray, (ie, im, il, iv))
     lod_cnt = np.asarray(assets.mesh_lod_count)
     lod_off = np.asarray(assets.mesh_lod_offset)
-    emesh = np.asarray(scene.entity_mesh)
+    emesh = smeta.entity_mesh_host
     expect_n = sum(lod_cnt[emesh[e], 0] for e in (1, 3, 6))
     assert iv.sum() == expect_n
     # each drawn entity contributes exactly its LOD0 meshlet range

@@ -70,7 +70,7 @@ def _render(world, mode=0):
         raster=RasterConfig(backend="xla", pair_capacity=1 << 11),
         render_mode=mode,
     )
-    im, ie, iv = static_instance_list(assets, scene, smeta, 1 << 10)
+    im, ie, iv = static_instance_list(store, smeta, 1 << 10)
     view = make_perspective_view(
         eye=(0.0, 0.8, 4.0), target=(0.0, -0.4, 0.0), aspect=W / H
     )

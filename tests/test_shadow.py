@@ -47,7 +47,7 @@ def _render(with_shadows: bool):
     )
     pipe = Pipeline(
         cfg, ameta, smeta, store.h["mesh_lod_count"],
-        np.asarray(scene.entity_mesh),
+        smeta.entity_mesh_host,
     )
     view = make_perspective_view(
         eye=(0.0, 3.5, 6.0), target=(0.0, 0.5, 0.0), aspect=W / H
