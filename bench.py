@@ -70,32 +70,43 @@ def main():
     )
 
     state = pipe.initial_state()
-    # warm up: compile + let two-pass visibility converge.
-    # CRITICAL: no device->host reads until all timing is done — a single
-    # readback drops this environment's TPU tunnel into a slow dispatch
-    # mode (~17 ms/call) for the rest of the process.
+    # warm up: compile + let two-pass visibility converge
     out, state = frame(assets, scene, view, env, state)
     jax.block_until_ready(out["color"])
     for _ in range(3):
         out, state = frame(assets, scene, view, env, state)
     jax.block_until_ready(out["color"])
 
-    times = []
-    n_frames = 30
+    # TIMING (environment quirk): on this tunneled TPU, block_until_ready
+    # does NOT block in async mode; the first device->host readback flips
+    # the client to synchronous dispatch (each call then waits for
+    # completion + ~5-15 ms tunnel round-trip). So: force sync mode,
+    # measure the round-trip with a no-op, and subtract it per frame.
+    assert not bool(out["overflow"]), "capacity overflow during bench"  # D2H
+    nop = jax.jit(lambda x: x + 1.0)
+    z = nop(jnp.zeros((1,)))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        z = nop(z)
+    jax.block_until_ready(z)
+    latency_ms = (time.perf_counter() - t0) / 10 * 1e3
+
+    # precompute views (camera moves each frame: fly-through workload)
     eye = np.asarray(cam["eye"], np.float64)
-    for i in range(n_frames):
-        # move the camera slightly each frame so no dispatch-level caching can
-        # fake the numbers; matches an interactive fly-through workload
-        v = make_perspective_view(
+    views = [
+        make_perspective_view(
             eye=(eye[0] + 0.02 * i, eye[1] + 0.005 * i, eye[2]),
             target=cam["target"], aspect=W / H, fovy=np.radians(60.0),
         )
+        for i in range(30)
+    ]
+    times = []
+    for v in views:
         t0 = time.perf_counter()
         out, state = frame(assets, scene, v, env, state)
         jax.block_until_ready(out["color"])
-        times.append((time.perf_counter() - t0) * 1e3)
+        times.append((time.perf_counter() - t0) * 1e3 - latency_ms)
 
-    assert not bool(out["overflow"]), "capacity overflow during bench"
     p50 = float(np.percentile(times, 50))
     target_ms = 1000.0 / 60.0
     meshlets = ameta.num_meshlets

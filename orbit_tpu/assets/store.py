@@ -147,6 +147,13 @@ class AssetStore:
                 h["mlet_sphere"][i] = ml.sphere
                 h["mlet_cone"][i] = ml.cone
                 h["mlet_material"][i] = ml.material
+                # corner-major expansion for the gather-free geometry stage
+                gv = ml.vertices[ml.triangles.astype(np.int64)]  # [nt,3]
+                h["tri_pos"][i, :nt] = mesh.positions[gv]
+                h["tri_attrs"][i, :nt] = np.concatenate(
+                    [mesh.uvs[gv], mesh.normals[gv], mesh.tangents[gv]],
+                    axis=-1,
+                )
             self.num_meshlets += len(mlets)
             h["mesh_lod_offset"][mesh_id, li] = m_base
             h["mesh_lod_count"][mesh_id, li] = len(mlets)
@@ -166,8 +173,50 @@ class AssetStore:
         self.num_meshes += 1
         return mesh_id
 
+    # -- combined material textures ------------------------------------------
+    def _build_combined_textures(self):
+        """Bake each textured material's slots into one 12-channel texel
+        stream (see AssetArrays.ctex_data). Missing slots bake neutral
+        values (white base, flat normal, full metallic/roughness/occlusion
+        multipliers, white emissive multiplier)."""
+        h = self.h
+        t4 = h["tex_data"].shape[1]
+        neutral = np.empty((t4, 12), np.uint8)
+        neutral[:, 0:4] = 255  # base RGBA
+        neutral[:, 4] = 128  # normal x
+        neutral[:, 5] = 128  # normal y
+        neutral[:, 6] = 255  # metallic multiplier (b channel semantics)
+        neutral[:, 7] = 255  # roughness multiplier
+        neutral[:, 8:11] = 255  # emissive multiplier
+        neutral[:, 11] = 255  # occlusion
+
+        n_c = 0
+        for m in range(self.num_materials):
+            slots = h["mat_tex"][m]
+            if (slots < 0).all():
+                continue
+            assert n_c < self.caps.texture_layers, "ctex capacity exceeded"
+            c = neutral.copy()
+            base, normal, mr, occl, emis = slots
+            if base >= 0:
+                c[:, 0:4] = h["tex_data"][base]
+            if normal >= 0:
+                c[:, 4:6] = h["tex_data"][normal][:, 0:2]
+            if mr >= 0:
+                # glTF: metallic in B, roughness in G
+                c[:, 6] = h["tex_data"][mr][:, 2]
+                c[:, 7] = h["tex_data"][mr][:, 1]
+            if emis >= 0:
+                c[:, 8:11] = h["tex_data"][emis][:, 0:3]
+            if occl >= 0:
+                c[:, 11] = h["tex_data"][occl][:, 0]
+            h["ctex_data"][n_c] = c
+            h["mat_ctex"][m] = n_c
+            n_c += 1
+
     # -- upload ---------------------------------------------------------------
     def to_device(self, device=None) -> tuple[AssetArrays, AssetMeta]:
+        self._build_combined_textures()
         h = self.h
         put = lambda x: jax.device_put(x, device)
         arrays = AssetArrays(**{k: put(v) for k, v in h.items()})

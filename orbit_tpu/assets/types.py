@@ -119,6 +119,11 @@ class AssetArrays:
       mlet_sphere     [M, 4] f32   model-space bounding sphere
       mlet_cone       [M, 4] f32   normal cone (axis, cutoff); cutoff==1 -> never cull
       mlet_material   [M] i32
+    Pre-expanded triangle corners (TPU-first: per-pixel/per-corner HBM
+    gathers cost ~5ns/row, so corner data is baked corner-major at load —
+    the geometry stage reads one [I]-row gather instead of millions):
+      tri_pos         [M, 64, 3, 3] f32 corner positions (model space)
+      tri_attrs       [M, 64, 3, 9] f32 corner (u, v, nx, ny, nz, tx, ty, tz, tw)
     Meshes (reference GpuMeshInfo, assets/mod.rs:18-28):
       mesh_sphere     [Me, 4] f32
       mesh_aabb       [Me, 2, 3] f32
@@ -138,6 +143,12 @@ class AssetArrays:
       tex_data        [L, T4, 4] u8 where T4 = sum((S>>k)^2); texel
                       (layer, mip k, y, x) lives at mip_offsets(S)[k] + y*(S>>k) + x
       tex_srgb        [L] bool — layer stores sRGB-encoded data
+    Combined material texture (all of a material's texture slots share uv,
+    so they are baked into ONE 12-channel texel — one gather per tap
+    instead of five; missing slots bake neutral values):
+      ctex_data       [Lc, T4, 12] u8: base RGBA(srgb), normal xy, metallic,
+                      roughness, emissive RGB(srgb), occlusion
+      mat_ctex        [Ma] i32 combined layer per material (-1 = untextured)
     """
 
     positions: jax.Array
@@ -151,6 +162,8 @@ class AssetArrays:
     mlet_sphere: jax.Array
     mlet_cone: jax.Array
     mlet_material: jax.Array
+    tri_pos: jax.Array
+    tri_attrs: jax.Array
 
     mesh_sphere: jax.Array
     mesh_aabb: jax.Array
@@ -168,6 +181,8 @@ class AssetArrays:
 
     tex_data: jax.Array
     tex_srgb: jax.Array
+    ctex_data: jax.Array
+    mat_ctex: jax.Array
 
 
 def empty_asset_numpy(caps: AssetCaps) -> dict:
@@ -187,6 +202,8 @@ def empty_asset_numpy(caps: AssetCaps) -> dict:
             [np.zeros((M, 3), np.float32), np.ones((M, 1), np.float32)], axis=1
         ),
         mlet_material=np.zeros((M,), np.int32),
+        tri_pos=np.zeros((M, MAX_MESHLET_TRIANGLES, 3, 3), np.float32),
+        tri_attrs=np.zeros((M, MAX_MESHLET_TRIANGLES, 3, 9), np.float32),
         mesh_sphere=np.zeros((Me, 4), np.float32),
         mesh_aabb=np.zeros((Me, 2, 3), np.float32),
         mesh_lod_offset=np.zeros((Me, MAX_LODS), np.int32),
@@ -201,4 +218,6 @@ def empty_asset_numpy(caps: AssetCaps) -> dict:
         mat_alpha_cutoff=np.full((Ma,), 0.5, np.float32),
         tex_data=np.zeros((L, atlas_texels(S), 4), np.uint8),
         tex_srgb=np.zeros((L,), bool),
+        ctex_data=np.zeros((L, atlas_texels(S), 12), np.uint8),
+        mat_ctex=np.full((Ma,), -1, np.int32),
     )

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from orbit_tpu.cull.occlusion import sphere_occluded
@@ -126,12 +127,14 @@ def expand_instances(
     offsets = jnp.cumsum(counts) - counts
     total = offsets[-1] + counts[-1]
 
+    # inverse expansion via scatter + cummax (O(P), no binary search):
+    # mark each entity's start slot with its index, then forward-fill
     p = jnp.arange(capacity, dtype=jnp.int32)
-    ent = (
-        jnp.searchsorted(offsets + counts, p, side="right")
-        .astype(jnp.int32)
-        .clip(0, counts.shape[0] - 1)
+    starts = jnp.where(counts > 0, offsets, capacity)
+    mark = jnp.full((capacity,), -1, jnp.int32).at[starts].max(
+        jnp.arange(counts.shape[0], dtype=jnp.int32), mode="drop"
     )
+    ent = jnp.maximum(jax.lax.cummax(mark), 0)
     local = p - offsets[ent]
     inst_meshlet = lod_off[ent] + local
     inst_valid = p < total

@@ -151,7 +151,7 @@ def render_shadow_cascades(
         )
         geom = process_geometry(
             assets, im, scene.entity_model[ie], view.view_proj, S, S,
-            inst_valid=draw_m,
+            inst_valid=draw_m, with_attrs=False,
         )
         depth, _, _ = rasterize(geom, S, S, cfg)
         maps.append(depth)

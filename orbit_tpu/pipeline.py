@@ -45,11 +45,16 @@ from orbit_tpu.passes import shadow as shadow_mod
 from orbit_tpu.passes.bloom import BloomSettings as BloomSettings_t
 from orbit_tpu.passes.cluster import ClusterSettings as ClusterSettings_t
 from orbit_tpu.passes.ssao import SsaoSettings as SsaoSettings_t
-from orbit_tpu.raster import RasterConfig, process_geometry, rasterize
+from orbit_tpu.raster import (
+    RasterConfig,
+    process_geometry,
+    rasterize,
+    rasterize_gbuffer,
+)
 from orbit_tpu.renderer import RenderSettings, camera_ray_dirs
+from orbit_tpu.shade import gbuffer as gbuffer_mod
 from orbit_tpu.shade import ibl as ibl_mod
 from orbit_tpu.shade import pbr as pbr_mod
-from orbit_tpu.shade.resolve import resolve_gbuffer
 
 
 @dataclass(frozen=True)
@@ -78,6 +83,7 @@ class PipelineConfig:
     clusters: Optional["ClusterSettings_t"] = None
     ssao: Optional["SsaoSettings_t"] = None
     bloom: Optional["BloomSettings_t"] = None
+    texture_filter: str = "bilinear"  # nearest | bilinear | trilinear
 
 
 class Pipeline:
@@ -163,12 +169,12 @@ class Pipeline:
                 assets, im, scene.entity_model[ie], view.view_proj, W, H,
                 inst_valid=draw_m,
             )
-            depth, vis, bins = rasterize(
+            depth, vis, gb, bins = rasterize_gbuffer(
                 geom, H, W, cfg.raster, init=init, vis_base_offset=base
             )
             return dict(
                 ie=ie, im=im, il=il, iv=iv, vis_m=vis_m, vis_e=vis_e,
-                setup=geom.setup, depth=depth, vis=vis,
+                depth=depth, vis=vis, gb=gb,
                 overflow=ovf | bins.overflow,
             )
 
@@ -177,9 +183,9 @@ class Pipeline:
             pyramid = build_depth_pyramid(early["depth"])
             late = run_pass(
                 PASS_LATE, pyramid, None,
-                (early["depth"], early["vis"]), C,
+                (early["depth"], early["vis"], early["gb"]), C,
             )
-            depth, vis = late["depth"], late["vis"]
+            depth, vis, gb = late["depth"], late["vis"], late["gb"]
             # write back visibility for next frame
             new_state = VisibilityState(
                 entity_visible=late["vis_e"],
@@ -189,19 +195,14 @@ class Pipeline:
                 new_state, self.vis_offsets, late["ie"], late["il"],
                 late["iv"], late["vis_m"],
             )
-            inst_entity = jnp.concatenate([early["ie"], late["ie"]])
-            inst_meshlet = jnp.concatenate([early["im"], late["im"]])
-            setup = jnp.concatenate([early["setup"], late["setup"]])
             overflow = early["overflow"] | late["overflow"]
         else:
             single = run_pass(PASS_SINGLE, None, None, None, 0)
-            depth, vis = single["depth"], single["vis"]
+            depth, vis, gb = single["depth"], single["vis"], single["gb"]
             new_state = state
-            inst_entity, inst_meshlet = single["ie"], single["im"]
-            setup = single["setup"]
             overflow = single["overflow"]
 
-        return depth, vis, inst_entity, inst_meshlet, setup, new_state, overflow
+        return depth, vis, gb, new_state, overflow
 
     # ------------------------------------------------------------------
     def frame(
@@ -216,28 +217,30 @@ class Pipeline:
     ):
         cfg = self.config
         W, H = cfg.width, cfg.height
-        (
-            depth, vis, inst_entity, inst_meshlet, setup, new_state, overflow
-        ) = self.cull_and_raster(assets, scene, view, state, cull_view)
-
-        inv_vp = jnp.linalg.inv(view.view_proj)
-        gbuf = resolve_gbuffer(
-            assets, vis, depth, setup, inst_meshlet, inst_entity,
-            scene.entity_normal_mat, inv_vp, W, H,
+        depth, vis, gb, new_state, overflow = self.cull_and_raster(
+            assets, scene, view, state, cull_view
         )
 
-        # SSAO (reference: ssao.rs + ssao.comp; uses resolved normals)
+        inv_vp = jnp.linalg.inv(view.view_proj)
+
+        # SSAO (reference: ssao.rs + ssao.comp; uses G-buffer normals)
         ssao_flat = None
         if cfg.ssao is not None and not view.is_ortho:
+            from orbit_tpu.math.transforms import normalize as _nrm
             from orbit_tpu.passes import ssao as ssao_mod
+            from orbit_tpu.raster.kernel_common import GB_NRM
 
-            normal_view = gbuf.normal @ view.view[:3, :3].T
+            n_world = _nrm(gb[GB_NRM : GB_NRM + 3].reshape(3, -1).T)
+            normal_view = n_world @ view.view[:3, :3].T
             ao_img = ssao_mod.compute_ssao(
                 depth, normal_view.reshape(H, W, 3), view, cfg.ssao
             )
             ssao_flat = ao_img.reshape(-1)
 
-        surface = pbr_mod.evaluate_material(assets, gbuf, ssao=ssao_flat)
+        surface, gbuf = gbuffer_mod.surface_from_gbuffer(
+            assets, gb, depth, vis, inv_vp,
+            texture_filter=cfg.texture_filter, ssao=ssao_flat,
+        )
 
         shadow_fn = None
         if cfg.shadows is not None and not view.is_ortho:
@@ -304,6 +307,7 @@ class Pipeline:
             light_slots = list(range(num_lights))
 
         mode = cfg.render_mode
+        sky_img = None
         if mode == 1:
             # cascade visualization (forward.frag case 1)
             if cfg.shadows is not None and shadow_fn is not None:
@@ -365,9 +369,31 @@ class Pipeline:
                 / 255.0
             )
         else:
+            # one merged prefiltered-environment sample serves BOTH the
+            # sky-light specular term and the skybox background (gathers
+            # are the scarce resource on TPU)
+            spec_sample = None
+            sky_img = None
+            if env is not None:
+                from orbit_tpu.math.transforms import normalize as _nrm
+
+                vdir = _nrm(view.eye[None, :] - gbuf.world_pos)
+                rdir = (
+                    2.0
+                    * jnp.sum(surface.normal * vdir, -1, keepdims=True)
+                    * surface.normal
+                    - vdir
+                )
+                bg_dirs = camera_ray_dirs(view, W, H).reshape(-1, 3)
+                dir_all = jnp.where(gbuf.valid[:, None], rdir, bg_dirs)
+                rough_all = jnp.where(gbuf.valid, surface.roughness, 0.0)
+                spec_sample = ibl_mod.sample_specular(
+                    env, dir_all, rough_all, mode="nearest_mip"
+                )
+                sky_img = spec_sample
             shaded = pbr_mod.shade(
                 surface, gbuf, scene, light_slots, view.eye, env,
-                shadow_fn=shadow_fn,
+                shadow_fn=shadow_fn, spec_sample=spec_sample,
             )
             if clusters is not None:
                 from orbit_tpu.passes import cluster as cluster_mod
@@ -378,10 +404,10 @@ class Pipeline:
                 )
 
         hdr = shaded.reshape(H, W, 3)
-        if env is not None and mode == 0:
-            dirs = camera_ray_dirs(view, W, H)
-            sky = ibl_mod.sample_background(env, dirs)
-            hdr = jnp.where(gbuf.valid.reshape(H, W, 1), hdr, sky)
+        if env is not None and mode == 0 and sky_img is not None:
+            hdr = jnp.where(
+                gbuf.valid.reshape(H, W, 1), hdr, sky_img.reshape(H, W, 3)
+            )
         else:
             hdr = jnp.where(gbuf.valid.reshape(H, W, 1), hdr, 0.0)
 

@@ -12,4 +12,8 @@ split: divergence-free raster, gather-heavy shade.
 
 from orbit_tpu.raster.geometry import GeometryBuffers, process_geometry  # noqa: F401
 from orbit_tpu.raster.binning import BinLists, bin_meshlets  # noqa: F401
-from orbit_tpu.raster.api import rasterize, RasterConfig  # noqa: F401
+from orbit_tpu.raster.api import (  # noqa: F401
+    RasterConfig,
+    rasterize,
+    rasterize_gbuffer,
+)

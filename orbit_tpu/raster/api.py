@@ -8,8 +8,11 @@ import jax
 
 from orbit_tpu.raster.binning import bin_meshlets
 from orbit_tpu.raster.geometry import GeometryBuffers
-from orbit_tpu.raster.raster_pallas import rasterize_pallas
-from orbit_tpu.raster.raster_xla import rasterize_xla
+from orbit_tpu.raster.raster_pallas import (
+    rasterize_pallas,
+    rasterize_pallas_gbuffer,
+)
+from orbit_tpu.raster.raster_xla import rasterize_xla, rasterize_xla_gbuffer
 
 
 @dataclass(frozen=True)
@@ -58,3 +61,38 @@ def rasterize(
             init=init, vis_base_offset=vis_base_offset,
         )
     return depth, vis, bins
+
+
+def rasterize_gbuffer(
+    geom: GeometryBuffers,
+    height: int,
+    width: int,
+    cfg: RasterConfig,
+    init=None,
+    vis_base_offset: int = 0,
+):
+    """G-buffer raster: returns (depth, vis, gbuf [GB_ROWS,H,W], bins)."""
+    bins = bin_meshlets(
+        geom.bbox,
+        geom.inst_valid,
+        width,
+        height,
+        cfg.tile_h,
+        cfg.tile_w,
+        cfg.pair_capacity,
+    )
+    backend = cfg.resolve_backend()
+    if backend == "xla":
+        depth, vis, gb = rasterize_xla_gbuffer(
+            geom.setup, geom.attrs, bins, height, width,
+            cfg.tile_h, cfg.tile_w,
+            init=init, vis_base_offset=vis_base_offset,
+        )
+    else:
+        depth, vis, gb = rasterize_pallas_gbuffer(
+            geom.setup, geom.attrs, bins, height, width,
+            cfg.tile_h, cfg.tile_w,
+            interpret=(backend == "pallas_interpret"),
+            init=init, vis_base_offset=vis_base_offset,
+        )
+    return depth, vis, gb, bins

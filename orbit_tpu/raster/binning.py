@@ -61,12 +61,13 @@ def bin_meshlets(
 
     P = pair_capacity
     p = jnp.arange(P, dtype=jnp.int32)
-    # which meshlet does pair slot p belong to?
-    slot = (
-        jnp.searchsorted(offsets + counts, p, side="right")
-        .astype(jnp.int32)
-        .clip(0, counts.shape[0] - 1)
+    # which meshlet does pair slot p belong to? scatter + cummax
+    # forward-fill (O(P), no binary search)
+    starts = jnp.where(counts > 0, offsets, P)
+    mark = jnp.full((P,), -1, jnp.int32).at[starts].max(
+        jnp.arange(counts.shape[0], dtype=jnp.int32), mode="drop"
     )
+    slot = jnp.maximum(jax.lax.cummax(mark), 0)
     local = p - offsets[slot]
     sx = jnp.maximum(span_x[slot], 1)
     tile_x = tx0[slot] + local % sx
@@ -80,13 +81,12 @@ def bin_meshlets(
     sorted_key = key[order]
     pair_slot = jnp.where(sorted_key < n_tiles, slot[order], -1)
 
-    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(sorted_key, tile_ids, side="left").astype(
-        jnp.int32
-    )
-    tile_end = jnp.searchsorted(sorted_key, tile_ids, side="right").astype(
-        jnp.int32
-    )
+    # per-tile ranges via bincount + cumsum (no binary searches)
+    per_tile = jnp.zeros((n_tiles,), jnp.int32).at[
+        jnp.where(pair_valid, tile, n_tiles)
+    ].add(1, mode="drop")
+    tile_end = jnp.cumsum(per_tile)
+    tile_start = tile_end - per_tile
     return BinLists(
         pair_slot=pair_slot,
         pair_tile=jnp.where(sorted_key < n_tiles, sorted_key, -1),

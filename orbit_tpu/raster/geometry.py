@@ -1,10 +1,14 @@
-"""Geometry stage: meshlet vertex transform + triangle setup.
+"""Geometry stage: meshlet triangle transform + setup (gather-free).
 
 Replaces the reference's vertex/mesh shaders (forward.vert:11-35,
-forward.mesh:18-63). All visible meshlet instances are processed in one
-batched pass: gather vertices, transform to clip space (batched MXU
-matmuls), derive screen-space edge and depth-plane coefficients for the
-rasterizer, and compute per-meshlet screen bounds for binning.
+forward.mesh:18-63). TPU-first: per-triangle corner positions/attributes
+are pre-expanded at asset build (AssetArrays.tri_pos/tri_attrs), so this
+stage is a single [I]-row gather plus batched dense math — no per-corner
+gathers (which cost ~5ns/row on TPU and would dominate the frame).
+
+Outputs both the edge/depth setup consumed by the rasterizer and the
+attribute-coefficient stream it interpolates in-kernel (kernel_common
+AC_* layout).
 
 Vis-buffer id convention: vis = slot * 64 + local_tri + 1; 0 = background.
 """
@@ -16,40 +20,42 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
+from orbit_tpu.raster.kernel_common import (
+    AC_ALPHA_CUTOFF,
+    AC_BASE,
+    AC_CTEX,
+    AC_EMISSIVE,
+    AC_MATID,
+    AC_METALLIC,
+    AC_NRM,
+    AC_ROUGHNESS,
+    AC_ROWS,
+    AC_S,
+    AC_TAN,
+    AC_U,
+    AC_V,
+)
+
 
 @jax.tree_util.register_dataclass
 @dataclass
 class GeometryBuffers:
     """Per-frame geometry output, capacity = max visible meshlet instances.
 
-    clip:      [I, 64, 4] f32 clip-space vertex positions
     setup:     [I, 64, 12] f32 (E0: ax,ay,c | E1 | E2 | Z: za,zb,zc),
-               screen-space; invalid tris get all-reject coefficients
+               pixel-space homogeneous; invalid tris get all-reject coeffs
+    attrs:     [I, AC_ROWS, 64] f32 attribute-coefficient stream
+               (transposed: rows=channels, lanes=triangles)
     tri_valid: [I, 64] bool
     bbox:      [I, 4] f32 screen-space meshlet bounds (minx,miny,maxx,maxy)
     inst_valid:[I] bool
     """
 
-    clip: jax.Array
     setup: jax.Array
+    attrs: jax.Array
     tri_valid: jax.Array
     bbox: jax.Array
     inst_valid: jax.Array
-
-
-def meshlet_vertices_world(assets, meshlet_ids, entity_matrices):
-    """Gather + transform meshlet vertices to world space.
-
-    meshlet_ids: [I] i32; entity_matrices: [I,4,4] model matrices.
-    Returns (world [I,64,4] homogeneous, vert_ids [I,64] i32).
-    """
-    vert_ids = assets.mlet_vertices[meshlet_ids]  # [I,64]
-    pos = assets.positions[vert_ids]  # [I,64,3]
-    pos_h = jnp.concatenate([pos, jnp.ones_like(pos[..., :1])], axis=-1)
-    world = jnp.einsum(
-        "iab,ivb->iva", entity_matrices, pos_h, precision=jax.lax.Precision.HIGHEST
-    )
-    return world, vert_ids
 
 
 def process_geometry(
@@ -62,50 +68,52 @@ def process_geometry(
     inst_valid=None,
     two_sided: bool = False,
     w_eps: float = 1e-4,
+    with_attrs: bool = True,
 ) -> GeometryBuffers:
-    """meshlet_ids: [I] i32 (compacted visible list, padded arbitrarily where
-    inst_valid is False); entity_matrices: [I,4,4]."""
-    world, _ = meshlet_vertices_world(assets, meshlet_ids, entity_matrices)
+    """meshlet_ids: [I] i32 (compacted visible list); entity_matrices
+    [I,4,4]. with_attrs=False skips the attribute stream (depth-only views
+    such as shadow cascades)."""
+    tri_pos = assets.tri_pos[meshlet_ids]  # [I,64,3,3]
+    mvp = jnp.einsum("ab,ibc->iac", view_proj, entity_matrices)  # [I,4,4]
+    ph = jnp.concatenate(
+        [tri_pos, jnp.ones_like(tri_pos[..., :1])], axis=-1
+    )  # [I,64,3,4]
     clip = jnp.einsum(
-        "ab,ivb->iva", view_proj, world, precision=jax.lax.Precision.HIGHEST
-    )
+        "iab,itcb->itca", mvp, ph, precision=jax.lax.Precision.HIGHEST
+    )  # [I,64,3,4]
 
-    tris = assets.mlet_tris[meshlet_ids].astype(jnp.int32)  # [I,64,3]
     tcount = assets.mlet_tcount[meshlet_ids]  # [I]
     tri_in_range = (
-        jnp.arange(tris.shape[1], dtype=jnp.int32)[None, :] < tcount[:, None]
+        jnp.arange(clip.shape[1], dtype=jnp.int32)[None, :] < tcount[:, None]
     )
     if inst_valid is not None:
         tri_in_range = tri_in_range & inst_valid[:, None]
 
-    setup, tri_valid, bbox = triangle_setup(
-        clip, tris, tri_in_range, width, height, two_sided, w_eps
+    setup, edges, valid, bbox = triangle_setup_corners(
+        clip, tri_in_range, width, height, two_sided, w_eps
     )
+
+    if with_attrs:
+        tri_attrs = assets.tri_attrs[meshlet_ids]  # [I,64,3,9]
+        mats = jnp.maximum(assets.mlet_material[meshlet_ids], 0)  # [I]
+        attrs = attribute_setup(edges, valid, tri_attrs, assets, mats)
+    else:
+        attrs = jnp.zeros(
+            (clip.shape[0], AC_ROWS, clip.shape[1]), jnp.float32
+        )
+
     iv = (
         inst_valid
         if inst_valid is not None
         else jnp.ones(clip.shape[0], dtype=bool)
     )
     return GeometryBuffers(
-        clip=clip, setup=setup, tri_valid=tri_valid, bbox=bbox, inst_valid=iv
+        setup=setup, attrs=attrs, tri_valid=valid, bbox=bbox, inst_valid=iv
     )
 
 
-def clip_to_screen(clip, width, height):
-    """Clip -> screen px. +y NDC = up = row 0; pixel centers at +0.5.
-
-    Returns (x, y, z_ndc, w).
-    """
-    w = clip[..., 3]
-    safe_w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
-    ndc = clip[..., :3] / safe_w[..., None]
-    x = (ndc[..., 0] * 0.5 + 0.5) * width
-    y = (0.5 - ndc[..., 1] * 0.5) * height
-    return x, y, ndc[..., 2], w
-
-
-def triangle_setup(
-    clip, tris, tri_in_range, width, height, two_sided=False, w_eps=1e-4
+def triangle_setup_corners(
+    clip, tri_in_range, width, height, two_sided=False, w_eps=1e-4
 ):
     """Clipless homogeneous triangle setup (Olano-Greer style).
 
@@ -117,22 +125,16 @@ def triangle_setup(
       b_i(p) = E_i(p) / sum_j E_j(p)
     and depth is affine: z_ndc(p) = sum_i z_ci * E_i(p) / det.
 
-    clip: [I,64,4]; tris: [I,T,3] local vertex indices.
-    Returns (setup [I,T,12], valid [I,T], bbox [I,4]).
+    clip: [I,T,3,4] per-corner clip positions.
+    Returns (setup [I,T,12], edges (e0,e1,e2 flipped coeff triples),
+    valid [I,T], bbox [I,4]).
     """
-    w = clip[..., 3]
-    # pixel-scale homogeneous coords: when w > 0, x'/w = pixel x
+    w = clip[..., 3]  # [I,T,3]
     xh = (clip[..., 0] * 0.5 + 0.5 * w) * width
     yh = (0.5 * w - clip[..., 1] * 0.5) * height  # y down in pixels
-    zc = clip[..., 2]
-
-    xs = _gather3(xh, tris)  # [I,T,3]
-    ys = _gather3(yh, tris)
-    zs = _gather3(zc, tris)
-    ws = _gather3(w, tris)
+    zs = clip[..., 2]
 
     def cross_cols(a, b):
-        """columns a, b as (x', y', w) triples -> cross product coeffs."""
         ax, ay, aw = a
         bx, by, bw = b
         return (
@@ -141,9 +143,9 @@ def triangle_setup(
             ax * by - ay * bx,  # constant
         )
 
-    c0 = (xs[..., 0], ys[..., 0], ws[..., 0])
-    c1 = (xs[..., 1], ys[..., 1], ws[..., 1])
-    c2 = (xs[..., 2], ys[..., 2], ws[..., 2])
+    c0 = (xh[..., 0], yh[..., 0], w[..., 0])
+    c1 = (xh[..., 1], yh[..., 1], w[..., 1])
+    c2 = (xh[..., 2], yh[..., 2], w[..., 2])
     e0 = cross_cols(c1, c2)
     e1 = cross_cols(c2, c0)
     e2 = cross_cols(c0, c1)
@@ -151,7 +153,7 @@ def triangle_setup(
 
     # front faces (glTF CCW, y-down pixels) come out with det < 0
     degenerate = jnp.abs(det) < 1e-10
-    fully_behind = jnp.all(ws < w_eps, axis=-1)
+    fully_behind = jnp.all(w < w_eps, axis=-1)
     if two_sided:
         flip = jnp.where(det >= 0.0, 1.0, -1.0)
         valid = ~degenerate & ~fully_behind & tri_in_range
@@ -166,11 +168,14 @@ def triangle_setup(
 
     neg_inf = jnp.float32(-3e38)
     coefs = []
+    flipped_edges = []
     for ex, ey, ec in (e0, e1, e2):
+        fx, fy, fc = ex * flip, ey * flip, ec * flip
+        flipped_edges.append((fx, fy, fc))
         coefs += [
-            jnp.where(valid, ex * flip, 0.0),
-            jnp.where(valid, ey * flip, 0.0),
-            jnp.where(valid, ec * flip, neg_inf),  # invalid: E < 0 everywhere
+            jnp.where(valid, fx, 0.0),
+            jnp.where(valid, fy, 0.0),
+            jnp.where(valid, fc, neg_inf),  # invalid: E < 0 everywhere
         ]
     coefs += [
         jnp.where(valid, za, 0.0),
@@ -179,13 +184,13 @@ def triangle_setup(
     ]
     setup = jnp.stack(coefs, axis=-1)  # [I,T,12]
 
-    # meshlet screen bbox: projected vertex bounds when every vertex is
-    # safely in front; full screen for near-crossing meshlets (their
-    # triangles still rasterize exactly — only binning is conservative)
-    safe_w = jnp.maximum(ws, w_eps)
-    px = xs / safe_w
-    py = ys / safe_w
-    any_near = jnp.any((ws < w_eps) & valid[..., None], axis=(1, 2))
+    # meshlet screen bbox: projected corner bounds when safely in front;
+    # full screen for near-crossing meshlets (raster stays exact — only
+    # binning is conservative)
+    safe_w = jnp.maximum(w, w_eps)
+    px = xh / safe_w
+    py = yh / safe_w
+    any_near = jnp.any((w < w_eps) & valid[..., None], axis=(1, 2))
     big = jnp.float32(3e38)
     vx = jnp.where(valid[..., None], px, big)
     vy = jnp.where(valid[..., None], py, big)
@@ -208,14 +213,59 @@ def triangle_setup(
         ],
         axis=-1,
     )
-    return setup, valid, bbox
+    return setup, flipped_edges, valid, bbox
 
 
-def _gather3(attr, tris):
-    """attr: [I, 64]; tris: [I, T, 3] -> [I, T, 3] (flat fast-path gather)."""
-    from orbit_tpu.utils import gather1
+def attribute_setup(edges, valid, tri_attrs, assets, mats):
+    """Build the [I, AC_ROWS, 64] attribute-coefficient stream.
 
-    I = tris.shape[0]
-    n = attr.shape[1]
-    rows = jnp.arange(I, dtype=tris.dtype)[:, None, None]
-    return gather1(attr.reshape(-1), rows * n + tris)
+    Interpolated channels: numerator coeffs = sum_i f_i * e_i (with the
+    same flipped edge coefficients the rasterizer evaluates, so the ratio
+    attr = num/S is exactly the perspective-correct interpolant).
+    Constant channels: per-meshlet material parameters broadcast over the
+    triangle lane axis (baked here so shading needs NO material gathers).
+    """
+    (e0x, e0y, e0c), (e1x, e1y, e1c), (e2x, e2y, e2c) = edges
+    I, T = e0x.shape
+
+    def num_coeffs(f):
+        # f: [I,T,3] per-corner values -> (a, b, c) [I,T] each
+        return (
+            f[..., 0] * e0x + f[..., 1] * e1x + f[..., 2] * e2x,
+            f[..., 0] * e0y + f[..., 1] * e1y + f[..., 2] * e2y,
+            f[..., 0] * e0c + f[..., 1] * e1c + f[..., 2] * e2c,
+        )
+
+    rows = [None] * AC_ROWS
+
+    def put3(base, trip):
+        rows[base], rows[base + 1], rows[base + 2] = trip
+
+    put3(AC_U, num_coeffs(tri_attrs[..., :, 0]))
+    put3(AC_V, num_coeffs(tri_attrs[..., :, 1]))
+    put3(AC_S, (e0x + e1x + e2x, e0y + e1y + e2y, e0c + e1c + e2c))
+    for k in range(3):
+        put3(AC_NRM + 3 * k, num_coeffs(tri_attrs[..., :, 2 + k]))
+    for k in range(4):
+        put3(AC_TAN + 3 * k, num_coeffs(tri_attrs[..., :, 5 + k]))
+
+    def const(v):
+        # v: [I] -> broadcast [I,T]
+        return jnp.broadcast_to(v[:, None], (I, T))
+
+    base = assets.mat_base_color[mats]  # [I,4]
+    for k in range(4):
+        rows[AC_BASE + k] = const(base[:, k])
+    emis = assets.mat_emissive[mats]
+    for k in range(3):
+        rows[AC_EMISSIVE + k] = const(emis[:, k])
+    rows[AC_METALLIC] = const(assets.mat_metallic[mats])
+    rows[AC_ROUGHNESS] = const(assets.mat_roughness[mats])
+    rows[AC_ALPHA_CUTOFF] = const(assets.mat_alpha_cutoff[mats])
+    rows[AC_CTEX] = const(assets.mat_ctex[mats].astype(jnp.float32))
+    rows[AC_MATID] = const(mats.astype(jnp.float32))
+    zero = jnp.zeros((I, T), jnp.float32)
+    rows = [zero if r is None else r for r in rows]
+    # [AC_ROWS, I, T] -> [I, AC_ROWS, T]; zero out invalid triangles
+    attrs = jnp.stack(rows).transpose(1, 0, 2)
+    return jnp.where(valid[:, None, :], attrs, 0.0)

@@ -11,6 +11,7 @@ GREATER compare, app.rs:562-563 D32 reverse-Z convention).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # functional layout inside setup[..., 12]
@@ -21,6 +22,48 @@ ZA, ZB, ZC = 9, 10, 11
 
 VIS_TRI_BITS = 6  # 64 triangles per meshlet
 VIS_NONE = 0  # background visibility id
+
+# ---------------------------------------------------------------------------
+# Attribute-coefficient stream layout (v2 in-raster interpolation).
+#
+# Per-pixel HBM gathers cost ~5 ns/row on TPU (see MEMORY: axon-tpu-quirks),
+# so the rasterizer interpolates ALL surface attributes in-kernel: the
+# geometry stage emits, per triangle, affine numerator coefficients
+#   attr(p) = (a*px + b*py + c) / S(p),  S = sum of the edge functionals
+# plus per-meshlet material constants. Layout [I, AC_ROWS, 64]: rows =
+# channels below, lanes = triangles (transposed for the in-kernel one-hot
+# MXU select). Affine channels occupy 3 rows (a, b, c); constants 1 row.
+AC_U = 0          # uv.x numerator (3 rows)
+AC_V = 3          # uv.y numerator (3)
+AC_S = 6          # denominator: sum of edge coeffs (3)
+AC_NRM = 9        # normal xyz numerators (9)
+AC_TAN = 18       # tangent xyzw numerators (12)
+AC_BASE = 30      # base color RGBA constants (4)
+AC_EMISSIVE = 34  # emissive RGB constants (3)
+AC_METALLIC = 37
+AC_ROUGHNESS = 38
+AC_ALPHA_CUTOFF = 39
+AC_CTEX = 40      # combined-texture layer id (float-encoded, -1 none)
+AC_MATID = 41     # material id (float-encoded, for debug modes)
+AC_ROWS = 48      # padded to a multiple of 8 sublanes
+
+# G-buffer row layout emitted by the rasterizer, per tile
+GB_U = 0
+GB_V = 1
+GB_DUDX = 2
+GB_DVDX = 3
+GB_DUDY = 4
+GB_DVDY = 5
+GB_NRM = 6        # xyz (unnormalized; normalize at shade)
+GB_TAN = 9        # xyzw
+GB_BASE = 13      # rgba
+GB_EMISSIVE = 17  # rgb
+GB_METALLIC = 20
+GB_ROUGHNESS = 21
+GB_ALPHA_CUTOFF = 22
+GB_CTEX = 23
+GB_MATID = 24
+GB_ROWS = 32      # padded
 
 
 def raster_meshlet_on_tile(setup_m, vis_base, xs, ys, depth, vis):
@@ -51,6 +94,90 @@ def raster_meshlet_on_tile(setup_m, vis_base, xs, ys, depth, vis):
     new_depth = jnp.where(win, best_z, depth)
     new_vis = jnp.where(win, vis_base + best_tri, vis)
     return new_depth, new_vis
+
+
+def eval_gbuffer_channels(sel, xs, ys):
+    """Evaluate interpolated surface channels from the winning triangle's
+    selected coefficient rows. Rank-2 throughout (Mosaic-friendly).
+
+    sel: [AC_ROWS, NP] (per-pixel coefficients after the one-hot select)
+    xs, ys: [NP] or [1, NP] pixel centers.
+    Returns [GB_ROWS, NP] — see GB_* layout. All attributes are rational
+    interpolants attr = (a*px + b*py + c) / S with analytic screen
+    derivatives for the uv channels (used for texture LOD).
+    """
+    x = xs.reshape(1, -1)
+    y = ys.reshape(1, -1)
+
+    def row(r):
+        return sel[r : r + 1]  # [1, NP]
+
+    def affine(base):
+        return row(base) * x + row(base + 1) * y + row(base + 2)
+
+    s_val = affine(AC_S)
+    inv_s = 1.0 / jnp.where(jnp.abs(s_val) < 1e-24, 1.0, s_val)
+    u_num = affine(AC_U)
+    v_num = affine(AC_V)
+    u = u_num * inv_s
+    v = v_num * inv_s
+    # d(U/S)/dx = (Ua - u*Sa)/S etc.
+    dudx = (row(AC_U) - u * row(AC_S)) * inv_s
+    dvdx = (row(AC_V) - v * row(AC_S)) * inv_s
+    dudy = (row(AC_U + 1) - u * row(AC_S + 1)) * inv_s
+    dvdy = (row(AC_V + 1) - v * row(AC_S + 1)) * inv_s
+
+    rows = [u, v, dudx, dvdx, dudy, dvdy]
+    for k in range(3):  # normal xyz
+        rows.append(affine(AC_NRM + 3 * k) * inv_s)
+    for k in range(4):  # tangent xyzw
+        rows.append(affine(AC_TAN + 3 * k) * inv_s)
+    for r in range(AC_BASE, AC_MATID + 1):  # constant channels
+        rows.append(row(r))
+    while len(rows) < GB_ROWS:
+        rows.append(jnp.zeros_like(u))
+    return jnp.concatenate(rows, axis=0)
+
+
+def raster_meshlet_gbuffer(
+    setup_m, attrs_m, vis_base, xs, ys, depth, vis, gb
+):
+    """G-buffer variant of raster_meshlet_on_tile. Rank-2 pure.
+
+    setup_m: [64, 12]; attrs_m: [AC_ROWS, 64]; xs/ys/depth: [NP] flat;
+    vis: [NP] i32; gb: [GB_ROWS, NP]. Returns (depth, vis, gb).
+    The winning triangle's coefficient rows are selected with a one-hot
+    matmul (MXU) and evaluated per pixel — zero memory gathers.
+    """
+    new_depth, new_vis = raster_meshlet_on_tile(
+        setup_m, vis_base, xs, ys, depth, vis
+    )
+    win = new_depth > depth
+
+    c = setup_m[:, :, None]  # [64, 12, 1]
+    x = xs[None]
+    y = ys[None]
+    e0 = c[:, E0X] * x + c[:, E0Y] * y + c[:, E0C]
+    e1 = c[:, E1X] * x + c[:, E1Y] * y + c[:, E1C]
+    e2 = c[:, E2X] * x + c[:, E2Y] * y + c[:, E2C]
+    z = c[:, ZA] * x + c[:, ZB] * y + c[:, ZC]
+    inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (z <= 1.0)
+    cand = jnp.where(inside, z, -1.0)
+    best_tri = jnp.argmax(cand, axis=0).astype(jnp.int32)
+
+    n_tris = setup_m.shape[0]
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (n_tris,) + best_tri.shape, 0)
+        == best_tri[None]
+    ).astype(jnp.float32)
+    sel = jax.lax.dot_general(
+        attrs_m, onehot,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [AC, NP]
+    channels = eval_gbuffer_channels(sel, xs, ys)
+    new_gb = jnp.where(win[None], channels, gb)
+    return new_depth, new_vis, new_gb
 
 
 def tile_pixel_centers(tile_y, tile_x, tile_h, tile_w):

@@ -28,6 +28,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from orbit_tpu.raster.binning import BinLists
+from orbit_tpu.raster.kernel_common import (
+    AC_ROWS,
+    GB_ROWS,
+    eval_gbuffer_channels,
+)
 
 _GROUP = 8  # tiles per framebuffer block
 
@@ -186,3 +191,196 @@ def rasterize_pallas(
     depth_t = jnp.where(occupied, depth_t, init_d)
     vis_t = jnp.where(occupied, vis_t, init_v)
     return from_tiles(depth_t), from_tiles(vis_t)
+
+
+def _gbuffer_kernel(
+    meta_ref, tile_ref, setup_ref, attrs_ref, init_d_ref, init_v_ref,
+    init_g_ref, depth_ref, vis_ref, gb_ref,
+    *, tile_h, tile_w, ntx, vis_base_offset,
+):
+    p = pl.program_id(0)
+    m = meta_ref[p]
+    valid = (m & 1) == 1
+    first = (m & 2) != 0
+    slot = m >> 2
+
+    @pl.when(first)
+    def _():
+        depth_ref[...] = init_d_ref[...]
+        vis_ref[...] = init_v_ref[...]
+        gb_ref[...] = init_g_ref[...]
+
+    @pl.when(valid)
+    def _():
+        tile = tile_ref[p]
+        r = tile % _GROUP
+        ty = (tile // ntx).astype(jnp.float32)
+        tx = (tile % ntx).astype(jnp.float32)
+        tpx = tile_h * tile_w
+        flat = jax.lax.broadcasted_iota(jnp.int32, (1, tpx), 1)
+        col = (flat % tile_w).astype(jnp.float32)
+        row = (flat // tile_w).astype(jnp.float32)
+        xs = tx * tile_w + col + 0.5  # [1, TPX]
+        ys = ty * tile_h + row + 0.5
+
+        s = setup_ref[0]  # [64, 12]
+
+        def coef(k):
+            return s[:, k][:, None]  # [64, 1]
+
+        e0 = coef(0) * xs + coef(1) * ys + coef(2)  # [64, TPX]
+        e1 = coef(3) * xs + coef(4) * ys + coef(5)
+        e2 = coef(6) * xs + coef(7) * ys + coef(8)
+        z = coef(9) * xs + coef(10) * ys + coef(11)
+
+        inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (z <= 1.0)
+        cand = jnp.where(inside, z, -1.0)
+
+        best_z = jnp.max(cand, axis=0, keepdims=True)  # [1, TPX]
+        best_tri = jnp.argmax(cand, axis=0, keepdims=True).astype(jnp.int32)
+
+        vis_base = ((slot + vis_base_offset) << 6) + 1
+        cur_d = depth_ref[pl.ds(r, 1), :]
+        cur_v = vis_ref[pl.ds(r, 1), :]
+        win = best_z > cur_d
+        depth_ref[pl.ds(r, 1), :] = jnp.where(win, best_z, cur_d)
+        vis_ref[pl.ds(r, 1), :] = jnp.where(win, vis_base + best_tri, cur_v)
+
+        # one-hot select of the winning triangle's attribute coefficients
+        n_tris = s.shape[0]
+        tri_iota = jax.lax.broadcasted_iota(jnp.int32, (n_tris, tpx), 0)
+        onehot = (tri_iota == best_tri).astype(jnp.float32)
+        attrs_m = attrs_ref[0]  # [AC_ROWS, 64]
+        sel = jax.lax.dot_general(
+            attrs_m, onehot,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [AC_ROWS, TPX]
+        channels = eval_gbuffer_channels(sel, xs, ys)  # [GB_ROWS, TPX]
+        gb_base = r * GB_ROWS
+        cur_g = gb_ref[pl.ds(gb_base, GB_ROWS), :]
+        gb_ref[pl.ds(gb_base, GB_ROWS), :] = jnp.where(win, channels, cur_g)
+
+
+def rasterize_pallas_gbuffer(
+    setup,
+    attrs,
+    bins: BinLists,
+    height: int,
+    width: int,
+    tile_h: int,
+    tile_w: int,
+    interpret: bool = False,
+    init=None,
+    vis_base_offset: int = 0,
+):
+    """G-buffer rasterizer. setup: [I,64,12]; attrs: [I, AC_ROWS, 64].
+
+    Returns (depth [H,W], vis [H,W], gbuf [GB_ROWS, H, W]).
+    init: optional (depth, vis, gbuf) composited under this pass.
+    """
+    ntx = -(-width // tile_w)
+    nty = -(-height // tile_h)
+    n_tiles = ntx * nty
+    n_tiles_pad = -(-n_tiles // _GROUP) * _GROUP
+    tpx = tile_h * tile_w
+    P = bins.pair_slot.shape[0]
+
+    def to_tiles(img):
+        pad_h, pad_w = nty * tile_h - height, ntx * tile_w - width
+        lead = img.shape[:-2]
+        x = jnp.pad(img, [(0, 0)] * len(lead) + [(0, pad_h), (0, pad_w)])
+        x = x.reshape(lead + (nty, tile_h, ntx, tile_w))
+        perm = tuple(range(len(lead))) + tuple(
+            len(lead) + i for i in (0, 2, 1, 3)
+        )
+        t = x.transpose(perm).reshape(lead + (n_tiles, tpx))
+        pad = [(0, 0)] * len(lead) + [(0, n_tiles_pad - n_tiles), (0, 0)]
+        return jnp.pad(t, pad)
+
+    def from_tiles(t, lead=()):
+        x = t[..., :n_tiles, :].reshape(lead + (nty, ntx, tile_h, tile_w))
+        perm = tuple(range(len(lead))) + tuple(
+            len(lead) + i for i in (0, 2, 1, 3)
+        )
+        img = x.transpose(perm).reshape(lead + (nty * tile_h, ntx * tile_w))
+        return img[..., :height, :width]
+
+    if init is None:
+        init_d = jnp.zeros((n_tiles_pad, tpx), jnp.float32)
+        init_v = jnp.zeros((n_tiles_pad, tpx), jnp.int32)
+        init_g = jnp.zeros((n_tiles_pad * GB_ROWS, tpx), jnp.float32)
+    else:
+        init_d = to_tiles(init[0])
+        init_v = to_tiles(init[1])
+        # gbuf [GB, H, W] -> [tiles, GB, tpx] -> interleave rows per tile
+        g = to_tiles(init[2])  # [GB, n_tiles_pad, tpx]
+        init_g = g.transpose(1, 0, 2).reshape(n_tiles_pad * GB_ROWS, tpx)
+
+    pvalid = bins.pair_tile >= 0
+    filled_tile = jax.lax.cummax(jnp.where(pvalid, bins.pair_tile, -1))
+    filled_tile = jnp.maximum(filled_tile, 0)
+    group = filled_tile // _GROUP
+    prev_group = jnp.concatenate([jnp.full((1,), -1, jnp.int32), group[:-1]])
+    first = pvalid & (group != prev_group)
+    slot = jnp.maximum(bins.pair_slot, 0)
+    meta = (slot << 2) | (first.astype(jnp.int32) << 1) | pvalid.astype(
+        jnp.int32
+    )
+
+    fb_spec = pl.BlockSpec(
+        (_GROUP, tpx), lambda p, meta, tile: (tile[p] // _GROUP, 0)
+    )
+    gb_spec = pl.BlockSpec(
+        (_GROUP * GB_ROWS, tpx), lambda p, meta, tile: (tile[p] // _GROUP, 0)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(P,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 64, 12), lambda p, meta, tile: (meta[p] >> 2, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, AC_ROWS, 64), lambda p, meta, tile: (meta[p] >> 2, 0, 0)
+            ),
+            fb_spec,
+            fb_spec,
+            gb_spec,
+        ],
+        out_specs=[fb_spec, fb_spec, gb_spec],
+    )
+
+    depth_t, vis_t, gb_t = pl.pallas_call(
+        functools.partial(
+            _gbuffer_kernel,
+            tile_h=tile_h,
+            tile_w=tile_w,
+            ntx=ntx,
+            vis_base_offset=vis_base_offset,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles_pad, tpx), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles_pad, tpx), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles_pad * GB_ROWS, tpx), jnp.float32),
+        ],
+        interpret=interpret,
+    )(meta, filled_tile, setup, attrs, init_d, init_v, init_g)
+
+    group_ids = jnp.arange(n_tiles_pad, dtype=jnp.int32) // _GROUP
+    visited_groups = jnp.zeros((n_tiles_pad // _GROUP,), bool).at[
+        jnp.where(pvalid, filled_tile // _GROUP, n_tiles_pad // _GROUP)
+    ].set(True, mode="drop")
+    occ = visited_groups[group_ids][:, None]
+    depth_t = jnp.where(occ, depth_t, init_d)
+    vis_t = jnp.where(occ, vis_t, init_v)
+    occ_g = jnp.repeat(occ, GB_ROWS, axis=0)
+    gb_t = jnp.where(occ_g, gb_t, init_g)
+
+    gb_tiles = gb_t.reshape(n_tiles_pad, GB_ROWS, tpx).transpose(1, 0, 2)
+    return (
+        from_tiles(depth_t),
+        from_tiles(vis_t),
+        from_tiles(gb_tiles, lead=(GB_ROWS,)),
+    )

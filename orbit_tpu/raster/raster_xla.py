@@ -12,7 +12,9 @@ import jax.numpy as jnp
 
 from orbit_tpu.raster.binning import BinLists
 from orbit_tpu.raster.kernel_common import (
+    GB_ROWS,
     VIS_TRI_BITS,
+    raster_meshlet_gbuffer,
     raster_meshlet_on_tile,
     tile_pixel_centers,
 )
@@ -82,3 +84,88 @@ def rasterize_xla(
         .reshape(nty * tile_h, ntx * tile_w)
     )
     return depth[:height, :width], vis[:height, :width]
+
+
+def rasterize_xla_gbuffer(
+    setup, attrs, bins: BinLists, height, width, tile_h, tile_w,
+    init=None, vis_base_offset: int = 0,
+):
+    """G-buffer rasterizer (XLA fallback / differential reference).
+
+    setup: [I,64,12]; attrs: [I, AC_ROWS, 64].
+    Returns (depth [H,W], vis [H,W], gbuf [GB_ROWS, H, W]).
+    init: optional (depth, vis, gbuf) to composite over.
+    """
+    ntx = -(-width // tile_w)
+    nty = -(-height // tile_h)
+    n_tiles = ntx * nty
+    tpx = tile_h * tile_w
+    setup_flat = setup.reshape(setup.shape[0], -1)
+    attrs_flat = attrs.reshape(attrs.shape[0], -1)
+    ac_rows = attrs.shape[1]
+
+    def to_tiles(img):
+        pad_h, pad_w = nty * tile_h - height, ntx * tile_w - width
+        lead = img.shape[:-2]
+        x = jnp.pad(
+            img, [(0, 0)] * len(lead) + [(0, pad_h), (0, pad_w)]
+        )
+        x = x.reshape(lead + (nty, tile_h, ntx, tile_w))
+        perm = tuple(range(len(lead))) + tuple(
+            len(lead) + i for i in (0, 2, 1, 3)
+        )
+        return x.transpose(perm).reshape(lead + (n_tiles, tpx))
+
+    if init is not None:
+        init_d = to_tiles(init[0])
+        init_v = to_tiles(init[1])
+        init_g = to_tiles(init[2])
+
+    def do_tile(t):
+        start = bins.tile_start[t]
+        count = bins.tile_count[t]
+        xs, ys = tile_pixel_centers(t // ntx, t % ntx, tile_h, tile_w)
+
+        def body(k, carry):
+            depth, vis, gb = carry
+            slot = bins.pair_slot[start + k]
+            setup_m = setup_flat[slot].reshape(-1, 12)
+            attrs_m = attrs_flat[slot].reshape(ac_rows, -1)
+            vis_base = ((slot + vis_base_offset) << VIS_TRI_BITS) + 1
+            return raster_meshlet_gbuffer(
+                setup_m, attrs_m, vis_base, xs, ys, depth, vis, gb
+            )
+
+        if init is None:
+            c0 = (
+                jnp.zeros((tpx,), jnp.float32),
+                jnp.zeros((tpx,), jnp.int32),
+                jnp.zeros((GB_ROWS, tpx), jnp.float32),
+            )
+        else:
+            c0 = (init_d[t], init_v[t], init_g[:, t])
+        depth, vis, gb = jax.lax.fori_loop(0, count, body, c0)
+        return (
+            depth.reshape(tile_h, tile_w),
+            vis.reshape(tile_h, tile_w),
+            gb.reshape(GB_ROWS, tile_h, tile_w),
+        )
+
+    depth_t, vis_t, gb_t = jax.vmap(do_tile)(
+        jnp.arange(n_tiles, dtype=jnp.int32)
+    )
+
+    def from_tiles(t, lead=()):
+        x = t.reshape(lead + (nty, ntx, tile_h, tile_w))
+        perm = tuple(range(len(lead))) + tuple(
+            len(lead) + i for i in (0, 2, 1, 3)
+        )
+        img = x.transpose(perm).reshape(
+            lead + (nty * tile_h, ntx * tile_w)
+        )
+        return img[..., :height, :width]
+
+    depth = from_tiles(depth_t)
+    vis = from_tiles(vis_t)
+    gb = from_tiles(gb_t.transpose(1, 0, 2, 3), lead=(GB_ROWS,))
+    return depth, vis, gb

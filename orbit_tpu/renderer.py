@@ -20,10 +20,15 @@ from orbit_tpu.camera import ViewParams
 from orbit_tpu.math.color import srgb_to_linear
 from orbit_tpu.math.color import uint_hash
 from orbit_tpu.passes import post as post_mod
-from orbit_tpu.raster import RasterConfig, process_geometry, rasterize
+from orbit_tpu.raster import (
+    RasterConfig,
+    process_geometry,
+    rasterize,
+    rasterize_gbuffer,
+)
+from orbit_tpu.shade import gbuffer as gbuffer_mod
 from orbit_tpu.shade import ibl as ibl_mod
 from orbit_tpu.shade import pbr as pbr_mod
-from orbit_tpu.shade.resolve import resolve_gbuffer
 
 
 @dataclass(frozen=True)
@@ -34,6 +39,7 @@ class RenderSettings:
     render_mode: int = 0  # reference forward.rs RenderMode 0..9
     exposure: float = 1.0
     instance_capacity: int = 1 << 13
+    texture_filter: str = "bilinear"
 
 
 def static_instance_list(store, scene_meta, capacity):
@@ -106,22 +112,13 @@ def render_frame(
     geom = process_geometry(
         assets, inst_meshlet, entity_mats, view.view_proj, W, H, inst_valid
     )
-    depth, vis, bins = rasterize(geom, H, W, settings.raster)
+    depth, vis, gb, bins = rasterize_gbuffer(geom, H, W, settings.raster)
 
     inv_vp = jnp.linalg.inv(view.view_proj)
-    gbuf = resolve_gbuffer(
-        assets,
-        vis,
-        depth,
-        geom.setup,
-        inst_meshlet,
-        inst_entity,
-        scene.entity_normal_mat,
-        inv_vp,
-        W,
-        H,
+    surface, gbuf = gbuffer_mod.surface_from_gbuffer(
+        assets, gb, depth, vis, inv_vp,
+        texture_filter=settings.texture_filter,
     )
-    surface = pbr_mod.evaluate_material(assets, gbuf)
     mode = settings.render_mode
     if mode == 0:
         shaded = pbr_mod.shade(

@@ -1,0 +1,213 @@
+"""Surface reconstruction from the in-raster G-buffer.
+
+v2 shading front-end: the rasterizer already interpolated uv/derivatives/
+normal/tangent and baked material constants per pixel (raster kernel_common
+GB_* rows), so the only remaining memory-indirect work is ONE combined-
+texture tap per filter sample. Replaces resolve.resolve_gbuffer +
+the gather-heavy half of pbr.evaluate_material.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orbit_tpu.assets.types import mip_offsets, num_mips
+from orbit_tpu.math.color import srgb_to_linear
+from orbit_tpu.math.transforms import normalize
+from orbit_tpu.raster.kernel_common import (
+    GB_ALPHA_CUTOFF,
+    GB_BASE,
+    GB_CTEX,
+    GB_DUDX,
+    GB_DUDY,
+    GB_DVDX,
+    GB_DVDY,
+    GB_EMISSIVE,
+    GB_MATID,
+    GB_METALLIC,
+    GB_NRM,
+    GB_ROUGHNESS,
+    GB_TAN,
+    GB_U,
+    GB_V,
+    VIS_TRI_BITS,
+)
+from orbit_tpu.shade.pbr import Surface
+from orbit_tpu.shade.resolve import GBuffer
+from orbit_tpu.shade.texture import lod_from_derivatives, size_from_atlas
+
+
+def _mip_offset_closed_form(size: int, k):
+    """Offset of mip k in the flat atlas: sum of (S>>j)^2 = (4S^2-4*sk^2)/3."""
+    sk = jnp.right_shift(jnp.int32(size), k)
+    return (4 * size * size - 4 * sk * sk) // 3, sk
+
+
+def sample_ctex_bilinear_mip(ctex_flat, layer, uv, k, tex_size, t4):
+    """One bilinear tap of the 12-channel combined texture at mip k.
+
+    ctex_flat: [Lc*T4, 12] u8; layer/k per-pixel i32; uv [N,2].
+    Returns [N,12] f32 in [0,1] (sRGB channels still encoded).
+    """
+    off, size = _mip_offset_closed_form(tex_size, k)
+    fsize = size.astype(jnp.float32)
+    t = uv * fsize[..., None] - 0.5
+    i0 = jnp.floor(t).astype(jnp.int32)
+    f = t - i0
+    mask = size - 1  # power-of-two wrap
+
+    def fetch(dx, dy):
+        x = jnp.bitwise_and(i0[..., 0] + dx, mask)
+        y = jnp.bitwise_and(i0[..., 1] + dy, mask)
+        addr = layer * t4 + off + y * size + x
+        return ctex_flat[addr].astype(jnp.float32) * (1.0 / 255.0)
+
+    fx = f[..., 0:1]
+    fy = f[..., 1:2]
+    top = fetch(0, 0) * (1 - fx) + fetch(1, 0) * fx
+    bot = fetch(0, 1) * (1 - fx) + fetch(1, 1) * fx
+    return top * (1 - fy) + bot * fy
+
+
+def sample_ctex(assets, layer, uv, lod, mode: str = "bilinear"):
+    """Combined-texture sample. mode: nearest | bilinear | trilinear."""
+    tex_size = size_from_atlas(assets.ctex_data.shape[1])
+    t4 = assets.ctex_data.shape[1]
+    ctex_flat = assets.ctex_data.reshape(-1, 12)
+    n = num_mips(tex_size)
+    lod = jnp.clip(lod, 0.0, n - 1.0)
+    safe_layer = jnp.maximum(layer, 0)
+
+    if mode == "nearest":
+        k = jnp.round(lod).astype(jnp.int32)
+        off, size = _mip_offset_closed_form(tex_size, k)
+        mask = size - 1
+        t = (uv * size[..., None].astype(jnp.float32)).astype(jnp.int32)
+        x = jnp.bitwise_and(t[..., 0], mask)
+        y = jnp.bitwise_and(t[..., 1], mask)
+        addr = safe_layer * t4 + off + y * size + x
+        return ctex_flat[addr].astype(jnp.float32) * (1.0 / 255.0)
+    if mode == "bilinear":
+        k = jnp.round(lod).astype(jnp.int32)
+        return sample_ctex_bilinear_mip(
+            ctex_flat, safe_layer, uv, k, tex_size, t4
+        )
+    # trilinear
+    k0 = jnp.floor(lod).astype(jnp.int32)
+    k1 = jnp.minimum(k0 + 1, n - 1)
+    f = (lod - k0.astype(jnp.float32))[..., None]
+    c0 = sample_ctex_bilinear_mip(ctex_flat, safe_layer, uv, k0, tex_size, t4)
+    c1 = sample_ctex_bilinear_mip(ctex_flat, safe_layer, uv, k1, tex_size, t4)
+    return c0 * (1 - f) + c1 * f
+
+
+def surface_from_gbuffer(
+    assets,
+    gb,  # [GB_ROWS, H, W]
+    depth,  # [H, W]
+    vis,  # [H, W]
+    inv_view_proj,
+    texture_filter: str = "bilinear",
+    ssao: Optional[jax.Array] = None,
+):
+    """Returns (Surface, GBuffer) — GBuffer fields populated for the
+    downstream consumers (shadows, clusters, debug modes)."""
+    H, W = depth.shape
+    n = H * W
+    g = gb.reshape(gb.shape[0], -1)
+    visf = vis.reshape(-1)
+    depthf = depth.reshape(-1)
+    valid = visf != 0
+
+    uv = jnp.stack([g[GB_U], g[GB_V]], axis=-1)
+    duv_dx = jnp.stack([g[GB_DUDX], g[GB_DVDX]], axis=-1)
+    duv_dy = jnp.stack([g[GB_DUDY], g[GB_DVDY]], axis=-1)
+    normal = normalize(g[GB_NRM : GB_NRM + 3].T)
+    tangent = g[GB_TAN : GB_TAN + 4].T
+    tangent = jnp.concatenate(
+        [normalize(tangent[:, :3]), jnp.sign(tangent[:, 3:4] + 1e-20)], -1
+    )
+    base = g[GB_BASE : GB_BASE + 4].T
+    emissive = g[GB_EMISSIVE : GB_EMISSIVE + 3].T
+    metallic = g[GB_METALLIC]
+    roughness = g[GB_ROUGHNESS]
+    layer = jnp.round(g[GB_CTEX]).astype(jnp.int32)
+    matid = jnp.round(g[GB_MATID]).astype(jnp.int32)
+    ao = jnp.ones_like(metallic)
+
+    # the single memory-indirect step: one combined-texture tap
+    tex_size = size_from_atlas(assets.ctex_data.shape[1])
+    lod = lod_from_derivatives(duv_dx, duv_dy, tex_size)
+    tex = sample_ctex(assets, layer, uv, lod, texture_filter)
+    has = (layer >= 0)[:, None]
+    t_base = jnp.concatenate(
+        [srgb_to_linear(tex[:, 0:3]), tex[:, 3:4]], axis=-1
+    )
+    base = jnp.where(has, base * t_base, base)
+    metallic = jnp.where(has[:, 0], metallic * tex[:, 6], metallic)
+    roughness = jnp.where(has[:, 0], roughness * tex[:, 7], roughness)
+    emissive = jnp.where(
+        has, emissive * srgb_to_linear(tex[:, 8:11]), emissive
+    )
+    ao = jnp.where(has[:, 0], tex[:, 11], ao)
+
+    # normal mapping from the combined texture's xy channels
+    nt_xy = tex[:, 4:6] * 2.0 - 1.0
+    ntz = jnp.sqrt(
+        jnp.abs(1.0 - nt_xy[:, 0] ** 2 - nt_xy[:, 1] ** 2)
+    )
+    t3 = tangent[:, :3]
+    b3 = jnp.cross(normal, t3) * tangent[:, 3:4]
+    n_mapped = normalize(
+        t3 * nt_xy[:, 0:1] + b3 * nt_xy[:, 1:2] + normal * ntz[:, None]
+    )
+    # flat-normal texels (128,128) keep the geometric normal exactly
+    is_flat = jnp.all(jnp.abs(nt_xy) < (1.5 / 127.0), axis=-1)
+    shading_normal = jnp.where(
+        (has[:, 0] & ~is_flat)[:, None], n_mapped, normal
+    )
+
+    if ssao is not None:
+        ao = jnp.minimum(ao, ssao)
+
+    # world position from depth
+    px = (jnp.arange(n, dtype=jnp.int32) % W).astype(jnp.float32) + 0.5
+    py = (jnp.arange(n, dtype=jnp.int32) // W).astype(jnp.float32) + 0.5
+    ndc_x = px / W * 2.0 - 1.0
+    ndc_y = (1.0 - py / H) * 2.0 - 1.0
+    ndc = jnp.stack([ndc_x, ndc_y, depthf, jnp.ones_like(depthf)], axis=-1)
+    wp = (ndc[:, :, None] * inv_view_proj.T[None]).sum(1)
+    world_pos = wp[:, :3] / jnp.where(
+        jnp.abs(wp[:, 3:4]) < 1e-20, 1.0, wp[:, 3:4]
+    )
+
+    packed = jnp.maximum(visf - 1, 0)
+    surface = Surface(
+        albedo=base[:, :3],
+        alpha=base[:, 3],
+        normal=shading_normal,
+        metallic=metallic,
+        roughness=roughness,
+        emissive=emissive,
+        ao=ao,
+    )
+    gbuf = GBuffer(
+        valid=valid,
+        world_pos=world_pos,
+        normal=normal,
+        tangent=tangent,
+        uv=uv,
+        duv_dx=duv_dx,
+        duv_dy=duv_dy,
+        material=matid,
+        entity=packed >> VIS_TRI_BITS,  # instance slot (entity via table)
+        meshlet=packed >> VIS_TRI_BITS,  # slot; callers map via inst table
+        tri=packed & ((1 << VIS_TRI_BITS) - 1),
+        depth=depthf,
+    )
+    return surface, gbuf

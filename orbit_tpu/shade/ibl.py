@@ -25,7 +25,8 @@ from orbit_tpu.math.transforms import normalize
 @jax.tree_util.register_dataclass
 @dataclass
 class EnvironmentMap:
-    irradiance: jax.Array  # [6, IR, IR, 3] f32
+    irradiance: jax.Array  # [6, IR, IR, 3] f32 (kept for parity/debug)
+    sh_irradiance: jax.Array  # [9, 3] f32 — SH9-projected irradiance
     spec_data: jax.Array  # [6, T, 3] f32 flat mip atlas (GGX prefiltered)
     brdf_lut: jax.Array  # [R, R, 2] f32
     spec_size: int = field(metadata=dict(static=True), default=128)
@@ -151,6 +152,68 @@ def equirect_to_cube(equirect, res: int):
     return jnp.minimum(cube, 10_000.0)
 
 
+def _sh_basis(d):
+    """Real SH basis up to l=2 (9 terms). d: [...,3] unit dirs -> [...,9]."""
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    return jnp.stack(
+        [
+            0.282095 * jnp.ones_like(x),
+            0.488603 * y,
+            0.488603 * z,
+            0.488603 * x,
+            1.092548 * x * y,
+            1.092548 * y * z,
+            0.315392 * (3.0 * z * z - 1.0),
+            1.092548 * x * z,
+            0.546274 * (x * x - y * y),
+        ],
+        axis=-1,
+    )
+
+
+# cosine-lobe convolution factors per SH band (Ramamoorthi-Hanrahan)
+_SH_A = np.array(
+    [np.pi]
+    + [2.0 * np.pi / 3.0] * 3
+    + [np.pi / 4.0] * 5,
+    np.float32,
+)
+
+
+def sh_project_irradiance(cube):
+    """Project an environment cube to SH9 irradiance coefficients.
+
+    TPU-first replacement for sampling an irradiance cubemap per pixel:
+    per-pixel evaluation becomes 9 fused FMAs — zero memory gathers
+    (gathers cost ~5ns/row; see MEMORY axon-tpu-quirks)."""
+    res = cube.shape[1]
+    dirs = normalize(face_dirs(res)).reshape(-1, 3)
+    sa = jnp.tile(texel_solid_angles(res).reshape(-1), 6)
+    basis = _sh_basis(dirs)  # [S,9]
+    L = (basis * sa[:, None]).T @ cube.reshape(-1, 3)  # [9,3]
+    return L * (jnp.asarray(_SH_A)[:, None] / np.pi)
+
+
+def sh_irradiance_eval(sh, n):
+    """Evaluate SH9 irradiance at normals n [...,3] -> [...,3]."""
+    basis = _sh_basis(n)  # [...,9]
+    return jnp.einsum("...k,kc->...c", basis, sh)
+
+
+def env_brdf_approx(n_dot_v, roughness):
+    """Analytic split-sum BRDF approximation (Karis, 'mobile' env BRDF).
+
+    Replaces the LUT lookup (4 gathers/pixel) with pure math; max error
+    vs the integrated LUT is ~0.02 — below tonemap visibility."""
+    r = roughness
+    a = -1.0 * r + 1.0
+    b = -0.0275 * r + 0.0425
+    cx = -0.572 * r + 1.04
+    dw = 0.022 * r - 0.04
+    a004 = jnp.minimum(a * a, jnp.exp2(-9.28 * n_dot_v)) * a + b
+    return jnp.stack([-1.04 * a004 + cx, 1.04 * a004 + dw], axis=-1)
+
+
 def irradiance_convolve(cube, out_res: int = 32, src_res: int = 32):
     """Cosine-weighted convolution as one matmul over source texels
     (env_map/cubemap_convolution.frag re-expressed for the MXU)."""
@@ -253,6 +316,7 @@ def build_environment(
     lut = brdf_integration_lut(brdf_res, brdf_samples)
     return EnvironmentMap(
         irradiance=irr,
+        sh_irradiance=sh_project_irradiance(cube),
         spec_data=spec,
         brdf_lut=lut,
         spec_size=cube_res,
@@ -309,13 +373,21 @@ def sample_irradiance(env: EnvironmentMap, dirs):
     return sample_cube(env.irradiance, dirs)
 
 
-def sample_specular(env: EnvironmentMap, dirs, roughness):
-    """Trilinear across prefiltered mips; roughness [...] in [0,1]."""
+def sample_specular(env: EnvironmentMap, dirs, roughness, mode="trilinear"):
+    """Prefiltered specular lookup; roughness [...] in [0,1].
+
+    mode 'trilinear': 8 gathers; 'nearest_mip': bilinear at the rounded
+    mip, 4 gathers (the fast path — gathers are the scarce resource)."""
     offs = spec_mip_offsets(env.spec_size, env.spec_mips)
     lod = jnp.clip(roughness, 0.0, 1.0) * (env.spec_mips - 1)
-    k0 = jnp.floor(lod).astype(jnp.int32)
-    k1 = jnp.minimum(k0 + 1, env.spec_mips - 1)
-    f = (lod - k0)[..., None]
+    if mode == "nearest_mip":
+        k = jnp.round(lod).astype(jnp.int32)
+        k0 = k1 = k
+        f = jnp.zeros(lod.shape + (1,))
+    else:
+        k0 = jnp.floor(lod).astype(jnp.int32)
+        k1 = jnp.minimum(k0 + 1, env.spec_mips - 1)
+        f = (lod - k0)[..., None]
 
     def tap(k):
         sizes = jnp.asarray(
@@ -342,12 +414,14 @@ def sample_specular(env: EnvironmentMap, dirs, roughness):
             at(x0, y1) * (1 - fx) + at(x1, y1) * fx
         ) * fy
 
+    if mode == "nearest_mip":
+        return tap(k0)
     return tap(k0) * (1 - f) + tap(k1) * f
 
 
-def sample_background(env: EnvironmentMap, dirs):
+def sample_background(env: EnvironmentMap, dirs, mode="trilinear"):
     """Skybox = prefiltered mip 0 (the unfiltered cube)."""
-    return sample_specular(env, dirs, jnp.zeros(dirs.shape[:-1]))
+    return sample_specular(env, dirs, jnp.zeros(dirs.shape[:-1]), mode=mode)
 
 
 def sample_brdf_lut(env: EnvironmentMap, n_dot_v, roughness):

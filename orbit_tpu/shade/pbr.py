@@ -111,6 +111,7 @@ def shade(
     luminance_cutoff: float = 0.25,
     shadow_fn: Optional[Callable] = None,
     light_mask: Optional[jax.Array] = None,
+    spec_sample: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Accumulate radiance over the given light slots (forward.frag:368-487).
 
@@ -129,15 +130,26 @@ def shade(
         color = scene.light_color[li]
 
         def sky():
+            # IBL, gather-minimized: irradiance from SH9 (0 gathers),
+            # env BRDF analytic (0 gathers), prefiltered specular either
+            # precomputed by the caller (shared with the skybox) or one
+            # bilinear tap here
             n_dot_v = jnp.maximum(jnp.sum(n * v, axis=-1), 0.0)
-            r = 2.0 * jnp.sum(n * v, axis=-1, keepdims=True) * n - v
             f0 = brdf.base_reflectivity(surface.albedo, surface.metallic)
             ks = brdf.fresnel_schlick_roughness(n_dot_v, f0, surface.roughness)
             kd = (1.0 - ks) * (1.0 - surface.metallic[:, None])
-            irr = ibl_mod.sample_irradiance(env, n)
+            irr = jnp.maximum(
+                ibl_mod.sh_irradiance_eval(env.sh_irradiance, n), 0.0
+            )
             diffuse = irr * surface.albedo
-            refl = ibl_mod.sample_specular(env, r, surface.roughness)
-            env_brdf = ibl_mod.sample_brdf_lut(env, n_dot_v, surface.roughness)
+            if spec_sample is not None:
+                refl = spec_sample
+            else:
+                r = 2.0 * jnp.sum(n * v, axis=-1, keepdims=True) * n - v
+                refl = ibl_mod.sample_specular(
+                    env, r, surface.roughness, mode="nearest_mip"
+                )
+            env_brdf = ibl_mod.env_brdf_approx(n_dot_v, surface.roughness)
             specular = refl * (ks * env_brdf[:, 0:1] + env_brdf[:, 1:2])
             return (kd * diffuse + specular) * color[None, :] * surface.ao[:, None]
 

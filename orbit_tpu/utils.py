@@ -7,16 +7,10 @@ import jax.numpy as jnp
 
 
 def gather1(table, i):
-    """table[i] forced to compile as a standalone gather kernel.
-
-    XLA TPU executes gathers at full speed only when they are their own
-    kernel; when a gather is fused with its index-computation producers or
-    elementwise consumers ("custom fusion"), it lowers to a serialized
-    per-element loop that is orders of magnitude slower. The optimization
-    barriers on the index and the result pin the fusion boundary.
-    """
-    i = jax.lax.optimization_barrier(i)
-    return jax.lax.optimization_barrier(table[i])
+    """table[i]. Single-axis gathers are the only fast-ish path on TPU
+    (~5ns/row floor regardless of pattern — see MEMORY axon-tpu-quirks);
+    use gather2/3 to flatten multi-axis indexing onto it."""
+    return table[i]
 
 
 def gather2(table, i, j):
