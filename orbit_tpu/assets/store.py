@@ -181,7 +181,7 @@ class AssetStore:
         multipliers, white emissive multiplier)."""
         h = self.h
         t4 = h["tex_data"].shape[1]
-        neutral = np.empty((t4, 12), np.uint8)
+        neutral = np.zeros((t4, 16), np.uint8)
         neutral[:, 0:4] = 255  # base RGBA
         neutral[:, 4] = 128  # normal x
         neutral[:, 5] = 128  # normal y
@@ -219,7 +219,13 @@ class AssetStore:
         self._build_combined_textures()
         h = self.h
         put = lambda x: jax.device_put(x, device)
-        arrays = AssetArrays(**{k: put(v) for k, v in h.items()})
+        d = dict(h)
+        # ship the 16-byte combined texels bitcast as f32x4: f32 rows are
+        # the fastest gather dtype on TPU (u8 rows gather ~5x slower)
+        d["ctex_data"] = np.ascontiguousarray(h["ctex_data"]).view(
+            np.float32
+        ).reshape(h["ctex_data"].shape[0], -1, 4)
+        arrays = AssetArrays(**{k: put(v) for k, v in d.items()})
         meta = AssetMeta(
             num_vertices=self.num_vertices,
             num_meshlets=self.num_meshlets,

@@ -146,8 +146,10 @@ class AssetArrays:
     Combined material texture (all of a material's texture slots share uv,
     so they are baked into ONE 12-channel texel — one gather per tap
     instead of five; missing slots bake neutral values):
-      ctex_data       [Lc, T4, 12] u8: base RGBA(srgb), normal xy, metallic,
-                      roughness, emissive RGB(srgb), occlusion
+      ctex_data       host: [Lc, T4, 16] u8; device: bitcast [Lc, T4, 4] f32
+                      (f32 rows gather ~5x faster than u8 on TPU).
+                      bytes: base RGBA(srgb), normal xy, metallic, roughness,
+                      emissive RGB(srgb), occlusion, 4 pad
       mat_ctex        [Ma] i32 combined layer per material (-1 = untextured)
     """
 
@@ -218,6 +220,6 @@ def empty_asset_numpy(caps: AssetCaps) -> dict:
         mat_alpha_cutoff=np.full((Ma,), 0.5, np.float32),
         tex_data=np.zeros((L, atlas_texels(S), 4), np.uint8),
         tex_srgb=np.zeros((L,), bool),
-        ctex_data=np.zeros((L, atlas_texels(S), 12), np.uint8),
+        ctex_data=np.zeros((L, atlas_texels(S), 16), np.uint8),
         mat_ctex=np.full((Ma,), -1, np.int32),
     )

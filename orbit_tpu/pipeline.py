@@ -83,7 +83,8 @@ class PipelineConfig:
     clusters: Optional["ClusterSettings_t"] = None
     ssao: Optional["SsaoSettings_t"] = None
     bloom: Optional["BloomSettings_t"] = None
-    texture_filter: str = "bilinear"  # nearest | bilinear | trilinear
+    texture_filter: str = "nearest"  # nearest | bilinear | trilinear
+    env_filter: str = "nearest"  # nearest | nearest_mip | trilinear
 
 
 class Pipeline:
@@ -388,7 +389,7 @@ class Pipeline:
                 dir_all = jnp.where(gbuf.valid[:, None], rdir, bg_dirs)
                 rough_all = jnp.where(gbuf.valid, surface.roughness, 0.0)
                 spec_sample = ibl_mod.sample_specular(
-                    env, dir_all, rough_all, mode="nearest_mip"
+                    env, dir_all, rough_all, mode=cfg.env_filter
                 )
                 sky_img = spec_sample
             shaded = pbr_mod.shade(

@@ -48,24 +48,40 @@ def _mip_offset_closed_form(size: int, k):
     return (4 * size * size - 4 * sk * sk) // 3, sk
 
 
-def sample_ctex_bilinear_mip(ctex_flat, layer, uv, k, tex_size, t4):
-    """One bilinear tap of the 12-channel combined texture at mip k.
+def _unpack_ctex_words(words):
+    """bitcast-f32 [N,4] -> 16 u8 channels as f32 in [0,1] ([N,16])."""
+    w = jax.lax.bitcast_convert_type(words, jnp.uint32)  # [N,4]
+    chans = []
+    for k in range(4):
+        wk = w[..., k]
+        for b in range(4):
+            chans.append(((wk >> (8 * b)) & jnp.uint32(0xFF)).astype(jnp.float32))
+    return jnp.stack(chans, axis=-1) * (1.0 / 255.0)
 
-    ctex_flat: [Lc*T4, 12] u8; layer/k per-pixel i32; uv [N,2].
-    Returns [N,12] f32 in [0,1] (sRGB channels still encoded).
-    """
+
+def _ctex_addr(layer, t4, tex_size, k, uvx, uvy):
     off, size = _mip_offset_closed_form(tex_size, k)
+    mask = size - 1  # power-of-two wrap
+    x = jnp.bitwise_and(uvx, mask)
+    y = jnp.bitwise_and(uvy, mask)
+    return layer * t4 + off + y * size + x
+
+
+def sample_ctex_bilinear_mip(ctex_flat, layer, uv, k, tex_size, t4):
+    """One bilinear tap of the combined texture at mip k (4 gathers).
+
+    ctex_flat: [Lc*T4, 4] bitcast-f32 texels. Returns [N,16] f32 in [0,1]
+    (sRGB channels still encoded).
+    """
+    _, size = _mip_offset_closed_form(tex_size, k)
     fsize = size.astype(jnp.float32)
     t = uv * fsize[..., None] - 0.5
     i0 = jnp.floor(t).astype(jnp.int32)
     f = t - i0
-    mask = size - 1  # power-of-two wrap
 
     def fetch(dx, dy):
-        x = jnp.bitwise_and(i0[..., 0] + dx, mask)
-        y = jnp.bitwise_and(i0[..., 1] + dy, mask)
-        addr = layer * t4 + off + y * size + x
-        return ctex_flat[addr].astype(jnp.float32) * (1.0 / 255.0)
+        addr = _ctex_addr(layer, t4, tex_size, k, i0[..., 0] + dx, i0[..., 1] + dy)
+        return _unpack_ctex_words(ctex_flat[addr])
 
     fx = f[..., 0:1]
     fy = f[..., 1:2]
@@ -78,20 +94,17 @@ def sample_ctex(assets, layer, uv, lod, mode: str = "bilinear"):
     """Combined-texture sample. mode: nearest | bilinear | trilinear."""
     tex_size = size_from_atlas(assets.ctex_data.shape[1])
     t4 = assets.ctex_data.shape[1]
-    ctex_flat = assets.ctex_data.reshape(-1, 12)
+    ctex_flat = assets.ctex_data.reshape(-1, 4)
     n = num_mips(tex_size)
     lod = jnp.clip(lod, 0.0, n - 1.0)
     safe_layer = jnp.maximum(layer, 0)
 
     if mode == "nearest":
         k = jnp.round(lod).astype(jnp.int32)
-        off, size = _mip_offset_closed_form(tex_size, k)
-        mask = size - 1
+        _, size = _mip_offset_closed_form(tex_size, k)
         t = (uv * size[..., None].astype(jnp.float32)).astype(jnp.int32)
-        x = jnp.bitwise_and(t[..., 0], mask)
-        y = jnp.bitwise_and(t[..., 1], mask)
-        addr = safe_layer * t4 + off + y * size + x
-        return ctex_flat[addr].astype(jnp.float32) * (1.0 / 255.0)
+        addr = _ctex_addr(safe_layer, t4, tex_size, k, t[..., 0], t[..., 1])
+        return _unpack_ctex_words(ctex_flat[addr])
     if mode == "bilinear":
         k = jnp.round(lod).astype(jnp.int32)
         return sample_ctex_bilinear_mip(

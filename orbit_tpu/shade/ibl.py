@@ -27,7 +27,7 @@ from orbit_tpu.math.transforms import normalize
 class EnvironmentMap:
     irradiance: jax.Array  # [6, IR, IR, 3] f32 (kept for parity/debug)
     sh_irradiance: jax.Array  # [9, 3] f32 — SH9-projected irradiance
-    spec_data: jax.Array  # [6, T, 3] f32 flat mip atlas (GGX prefiltered)
+    spec_data: jax.Array  # [6, T, 4] f32 flat mip atlas (GGX prefiltered; ch 3 pad)
     brdf_lut: jax.Array  # [R, R, 2] f32
     spec_size: int = field(metadata=dict(static=True), default=128)
     spec_mips: int = field(metadata=dict(static=True), default=5)
@@ -300,7 +300,8 @@ def build_environment(
     irr = irradiance_convolve(cube, irr_res)
 
     offs = spec_mip_offsets(cube_res, spec_mips)
-    spec = jnp.zeros((6, int(offs[-1]), 3), jnp.float32)
+    # 4-channel rows: 16-byte-aligned gathers are ~3x faster than 12-byte
+    spec = jnp.zeros((6, int(offs[-1]), 4), jnp.float32)
     res = cube_res
     for m in range(spec_mips):
         rough = m / max(spec_mips - 1, 1)
@@ -309,9 +310,10 @@ def build_environment(
             if m == 0
             else ggx_prefilter_mip(cube, res, rough, spec_samples)
         )
-        spec = jax.lax.dynamic_update_slice(
-            spec, mip.reshape(6, res * res, 3), (0, int(offs[m]), 0)
+        mip4 = jnp.concatenate(
+            [mip.reshape(6, res * res, 3), jnp.zeros((6, res * res, 1))], -1
         )
+        spec = jax.lax.dynamic_update_slice(spec, mip4, (0, int(offs[m]), 0))
         res //= 2
     lut = brdf_integration_lut(brdf_res, brdf_samples)
     return EnvironmentMap(
@@ -380,6 +382,22 @@ def sample_specular(env: EnvironmentMap, dirs, roughness, mode="trilinear"):
     mip, 4 gathers (the fast path — gathers are the scarce resource)."""
     offs = spec_mip_offsets(env.spec_size, env.spec_mips)
     lod = jnp.clip(roughness, 0.0, 1.0) * (env.spec_mips - 1)
+    if mode == "nearest":
+        # single-texel tap: 1 gather (the fast path; gathers cost ~5ns/row)
+        k = jnp.round(lod).astype(jnp.int32)
+        sizes = jnp.asarray(
+            [env.spec_size >> m for m in range(env.spec_mips)], jnp.int32
+        )
+        res = sizes[k]
+        off = jnp.asarray(offs[:-1])[k]
+        face, u, v = dir_to_face_uv(dirs)
+        fres = res.astype(jnp.float32)
+        x = jnp.clip((u * fres).astype(jnp.int32), 0, res - 1)
+        y = jnp.clip((v * fres).astype(jnp.int32), 0, res - 1)
+        t = env.spec_data.shape[1]
+        flat = env.spec_data.reshape(-1, env.spec_data.shape[-1])
+        addr = face * t + off + y * res + x
+        return flat[addr][..., :3]
     if mode == "nearest_mip":
         k = jnp.round(lod).astype(jnp.int32)
         k0 = k1 = k
@@ -410,9 +428,10 @@ def sample_specular(env: EnvironmentMap, dirs, roughness, mode="trilinear"):
 
             return gather2(env.spec_data, face, off + yy * res + xx)
 
-        return (at(x0, y0) * (1 - fx) + at(x1, y0) * fx) * (1 - fy) + (
+        c = (at(x0, y0) * (1 - fx) + at(x1, y0) * fx) * (1 - fy) + (
             at(x0, y1) * (1 - fx) + at(x1, y1) * fx
         ) * fy
+        return c[..., :3]
 
     if mode == "nearest_mip":
         return tap(k0)
