@@ -149,11 +149,9 @@ def raster_meshlet_gbuffer(
     The winning triangle's coefficient rows are selected with a one-hot
     matmul (MXU) and evaluated per pixel — zero memory gathers.
     """
-    new_depth, new_vis = raster_meshlet_on_tile(
-        setup_m, vis_base, xs, ys, depth, vis
-    )
-    win = new_depth > depth
-
+    # single evaluation of the candidates: the SAME argmax must drive the
+    # vis id AND the attribute select (recomputing it in a second fusion
+    # can flip FP contraction order and disagree on shared-edge pixels)
     c = setup_m[:, :, None]  # [64, 12, 1]
     x = xs[None]
     y = ys[None]
@@ -163,18 +161,15 @@ def raster_meshlet_gbuffer(
     z = c[:, ZA] * x + c[:, ZB] * y + c[:, ZC]
     inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (z <= 1.0)
     cand = jnp.where(inside, z, -1.0)
+    best_z = jnp.max(cand, axis=0)
     best_tri = jnp.argmax(cand, axis=0).astype(jnp.int32)
+    win = best_z > depth
+    new_depth = jnp.where(win, best_z, depth)
+    new_vis = jnp.where(win, vis_base + best_tri, vis)
 
-    n_tris = setup_m.shape[0]
-    onehot = (
-        jax.lax.broadcasted_iota(jnp.int32, (n_tris,) + best_tri.shape, 0)
-        == best_tri[None]
-    ).astype(jnp.float32)
-    sel = jax.lax.dot_general(
-        attrs_m, onehot,
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [AC, NP]
+    # exact select of the winner's coefficient rows (the Pallas kernel
+    # uses tpu.dynamic_gather; this must match it bit-for-bit)
+    sel = attrs_m[:, best_tri]  # [AC, NP]
     channels = eval_gbuffer_channels(sel, xs, ys)
     new_gb = jnp.where(win[None], channels, gb)
     return new_depth, new_vis, new_gb
