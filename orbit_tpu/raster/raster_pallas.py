@@ -246,36 +246,40 @@ def _gbuffer_kernel(
         depth_ref[pl.ds(r, 1), :] = jnp.where(win, best_z, cur_d)
         vis_ref[pl.ds(r, 1), :] = jnp.where(win, vis_base + best_tri, cur_v)
 
-        # select the winning triangle's attribute coefficients with
-        # tpu.dynamic_gather over [8,128] register chunks: ~16x fewer
-        # cycles than the equivalent one-hot f32 matmul on the MXU
-        attrs_m = attrs_ref[0]  # [AC_ROWS, 64]
-        attrs_w = jnp.concatenate([attrs_m, attrs_m], axis=1)  # lanes->128
-        # pixel-chunk the winner ids along SUBLANES (lane-offset slices of
-        # a [1, TPX] vector are relayouts; sublane slices are free)
-        bt_rows = best_tri.reshape(tpx // 128, 128)
+        # attribute interpolation only runs when this pair won pixels —
+        # occluded-but-binned meshlets skip the whole phase
+        @pl.when(jnp.any(win))
+        def _():
+            # select the winning triangle's attribute coefficients with
+            # tpu.dynamic_gather over [8,128] register chunks (~16x fewer
+            # cycles than the equivalent one-hot f32 matmul)
+            attrs_m = attrs_ref[0]  # [AC_ROWS, 64]
+            attrs_w = jnp.concatenate([attrs_m, attrs_m], axis=1)  # ->128
+            # pixel-chunk winner ids along SUBLANES (lane-offset slices of
+            # a [1, TPX] vector are relayouts; sublane slices are free)
+            bt_rows = best_tri.reshape(tpx // 128, 128)
 
-        def build_sel(sel_scratch):
-            for cb in range(AC_ROWS // 8):
-                xrows = attrs_w[cb * 8 : (cb + 1) * 8, :]  # [8, 128]
-                for px in range(tpx // 128):
-                    idx8 = jnp.broadcast_to(
-                        bt_rows[px : px + 1, :], (8, 128)
-                    )
-                    sel_scratch[
-                        pl.ds(cb * 8, 8), pl.ds(px * 128, 128)
-                    ] = jnp.take_along_axis(xrows, idx8, axis=1)
-            sel = sel_scratch[...]
-            channels = eval_gbuffer_channels(sel, xs, ys)  # [GB_ROWS, TPX]
-            gb_base = r * GB_ROWS
-            cur_g = gb_ref[pl.ds(gb_base, GB_ROWS), :]
-            gb_ref[pl.ds(gb_base, GB_ROWS), :] = jnp.where(
-                win, channels, cur_g
+            def build_sel(sel_scratch):
+                for cb in range(AC_ROWS // 8):
+                    xrows = attrs_w[cb * 8 : (cb + 1) * 8, :]  # [8, 128]
+                    for px in range(tpx // 128):
+                        idx8 = jnp.broadcast_to(
+                            bt_rows[px : px + 1, :], (8, 128)
+                        )
+                        sel_scratch[
+                            pl.ds(cb * 8, 8), pl.ds(px * 128, 128)
+                        ] = jnp.take_along_axis(xrows, idx8, axis=1)
+                sel = sel_scratch[...]
+                channels = eval_gbuffer_channels(sel, xs, ys)
+                gb_base = r * GB_ROWS
+                cur_g = gb_ref[pl.ds(gb_base, GB_ROWS), :]
+                gb_ref[pl.ds(gb_base, GB_ROWS), :] = jnp.where(
+                    win, channels, cur_g
+                )
+
+            pl.run_scoped(
+                build_sel, pltpu.VMEM((AC_ROWS, tpx), jnp.float32)
             )
-
-        pl.run_scoped(
-            build_sel, pltpu.VMEM((AC_ROWS, tpx), jnp.float32)
-        )
 
 
 def rasterize_pallas_gbuffer(
