@@ -85,6 +85,7 @@ class PipelineConfig:
     bloom: Optional["BloomSettings_t"] = None
     texture_filter: str = "nearest"  # nearest | bilinear | trilinear
     env_filter: str = "nearest"  # nearest | nearest_mip | trilinear
+    supersample: int = 1  # SSAA factor (the TPU MSAA: k*k shading samples)
 
 
 class Pipeline:
@@ -124,7 +125,7 @@ class Pipeline:
         new_state, overflow).
         """
         cfg = self.config
-        W, H = cfg.width, cfg.height
+        W, H = cfg.width * cfg.supersample, cfg.height * cfg.supersample
         C = cfg.instance_capacity
         cv = view.view if cull_view is None else cull_view
         two_pass = cfg.cull.occlusion
@@ -217,7 +218,7 @@ class Pipeline:
         cull_view: Optional[jax.Array] = None,
     ):
         cfg = self.config
-        W, H = cfg.width, cfg.height
+        W, H = cfg.width * cfg.supersample, cfg.height * cfg.supersample
         depth, vis, gb, new_state, overflow = self.cull_and_raster(
             assets, scene, view, state, cull_view
         )
@@ -411,6 +412,11 @@ class Pipeline:
             )
         else:
             hdr = jnp.where(gbuf.valid.reshape(H, W, 1), hdr, 0.0)
+
+        if cfg.supersample > 1:
+            from orbit_tpu.passes.hdr_resolve import resolve_supersampled
+
+            hdr = resolve_supersampled(hdr, cfg.supersample)
 
         bloom_img = None
         if cfg.bloom is not None:

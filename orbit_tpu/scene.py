@@ -92,6 +92,7 @@ class SceneBuilder:
         self.rotations = []  # quaternion (x,y,z,w)
         self.scales = []
         self.meshes = []
+        self.matrices = []  # explicit 4x4 overrides (glTF nodes) or None
         self.lights = []
 
     def add_entity(
@@ -103,6 +104,16 @@ class SceneBuilder:
         self.rotations.append(np.asarray(rotation, np.float32))
         self.scales.append(np.asarray(scale, np.float32))
         self.meshes.append(mesh)
+        self.matrices.append(None)
+        return len(self.meshes) - 1
+
+    def add_entity_matrix(self, mesh: int, matrix: np.ndarray) -> int:
+        """Entity with an explicit 4x4 model matrix (glTF node import)."""
+        self.translations.append(np.zeros(3, np.float32))
+        self.rotations.append(np.array([0, 0, 0, 1], np.float32))
+        self.scales.append(np.ones(3, np.float32))
+        self.meshes.append(mesh)
+        self.matrices.append(np.asarray(matrix, np.float32))
         return len(self.meshes) - 1
 
     def add_light(
@@ -141,6 +152,9 @@ class SceneBuilder:
             r = np.stack(self.rotations)
             s = np.stack(self.scales)
             model[:ne] = _compose_trs_np(t, r, s)
+            for i, m in enumerate(self.matrices):
+                if m is not None:
+                    model[i] = m
         normal_mat = np.linalg.inv(model[:, :3, :3]).transpose(0, 2, 1)
 
         mesh = np.full(E, -1, np.int32)
