@@ -35,10 +35,32 @@ def build_meshlets(
     tri_material: Optional[np.ndarray] = None,
     max_vertices: int = MAX_MESHLET_VERTICES,
     max_triangles: int = MAX_MESHLET_TRIANGLES,
+    use_native: bool = True,
 ) -> List[Meshlet]:
     """Scan triangles greedily; flush when a budget would overflow or the
     triangle's material differs (meshlets are single-material, matching the
-    reference where submeshes split by material before meshletization)."""
+    reference where submeshes split by material before meshletization).
+
+    Uses the C++ meshletizer (orbit_tpu/native/meshproc.cpp) when the
+    toolchain is available; falls back to this Python implementation
+    (differential-tested to produce identical meshlets)."""
+    if use_native:
+        from orbit_tpu.native import build_meshlets_native
+
+        r = build_meshlets_native(
+            positions, indices, tri_material, max_vertices, max_triangles
+        )
+        if r is not None:
+            return [
+                Meshlet(
+                    vertices=r["vertices"][i, : r["vcount"][i]].copy(),
+                    triangles=r["triangles"][i, : r["tcount"][i]].copy(),
+                    sphere=r["sphere"][i].copy(),
+                    cone=r["cone"][i].copy(),
+                    material=int(r["material"][i]),
+                )
+                for i in range(r["count"])
+            ]
     tris = indices.reshape(-1, 3).astype(np.int64)
     n_tris = len(tris)
     if tri_material is None:
