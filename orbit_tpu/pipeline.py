@@ -148,6 +148,12 @@ class Pipeline:
         )
 
         def run_pass(pass_id, pyramid, prev_entity, init, base):
+            from orbit_tpu.graph import pass_scope
+
+            with pass_scope(f"cull_pass_{pass_id}"):
+                return _run_pass_inner(pass_id, pyramid, prev_entity, init, base)
+
+        def _run_pass_inner(pass_id, pyramid, prev_entity, init, base):
             draw_e, lod_idx, vis_e = cull_entities(
                 assets, scene, self.scene_meta.num_entities,
                 occlusion_pass=pass_id, pyramid=pyramid,
