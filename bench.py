@@ -47,10 +47,13 @@ def main():
             backend="pallas" if backend == "tpu" else "xla",
             tile_h=16,
             tile_w=128,
-            pair_capacity=1 << 15,
+            pair_capacity=1 << 14,
         ),
         cull=CullSettings(),
-        instance_capacity=1 << 14,
+        # capacities size every compacted stage's static cost: keep them
+        # snug over the scene's worst case (overflow flags guard)
+        instance_capacity=1 << 12,
+        late_pair_capacity=1 << 13,
     )
     pipe = Pipeline(
         cfg, ameta, smeta, store.h["mesh_lod_count"],

@@ -76,6 +76,11 @@ class PipelineConfig:
     raster: RasterConfig = field(default_factory=RasterConfig)
     cull: CullSettings = field(default_factory=CullSettings)
     instance_capacity: int = 1 << 13  # per pass
+    # the late occlusion pass draws only the newly-visible difference —
+    # a fraction of the early pass; its capacities (and therefore its
+    # static cost) can be much smaller
+    late_instance_capacity: int = 0  # 0 = same as instance_capacity
+    late_pair_capacity: int = 0  # 0 = same as raster.pair_capacity
     render_mode: int = 0
     exposure: float = 1.0
     shadows: Optional["shadow_mod.ShadowSettings"] = None
@@ -154,13 +159,24 @@ class Pipeline:
                 return _run_pass_inner(pass_id, pyramid, prev_entity, init, base)
 
         def _run_pass_inner(pass_id, pyramid, prev_entity, init, base):
+            late = pass_id == PASS_LATE
+            cap_i = (
+                cfg.late_instance_capacity or C if late else C
+            )
+            raster_cfg = cfg.raster
+            if late and cfg.late_pair_capacity:
+                from dataclasses import replace as _replace
+
+                raster_cfg = _replace(
+                    cfg.raster, pair_capacity=cfg.late_pair_capacity
+                )
             draw_e, lod_idx, vis_e = cull_entities(
                 assets, scene, self.scene_meta.num_entities,
                 occlusion_pass=pass_id, pyramid=pyramid,
                 prev_visible=prev_entity, **common, **lod,
             )
             ie, im, il, iv, ovf = expand_instances(
-                assets, draw_e, lod_idx, scene.entity_mesh, C
+                assets, draw_e, lod_idx, scene.entity_mesh, cap_i
             )
             prev_bits = gather_meshlet_bits(
                 state, self.vis_offsets, ie, il, iv
@@ -178,7 +194,7 @@ class Pipeline:
                 inst_valid=draw_m,
             )
             depth, vis, gb, bins = rasterize_gbuffer(
-                geom, H, W, cfg.raster, init=init, vis_base_offset=base
+                geom, H, W, raster_cfg, init=init, vis_base_offset=base
             )
             return dict(
                 ie=ie, im=im, il=il, iv=iv, vis_m=vis_m, vis_e=vis_e,
