@@ -33,19 +33,23 @@ VIS_NONE = 0  # background visibility id
 # plus per-meshlet material constants. Layout [I, AC_ROWS, 64]: rows =
 # channels below, lanes = triangles (transposed for the in-kernel one-hot
 # MXU select). Affine channels occupy 3 rows (a, b, c); constants 1 row.
+# Rows 0..15 are selected exactly (f32 dynamic_gather in the kernel);
+# rows 16+ may be selected through a bf16 one-hot matmul — keep
+# integer-valued and texel-addressing channels in the exact block.
 AC_U = 0          # uv.x numerator (3 rows)
 AC_V = 3          # uv.y numerator (3)
 AC_S = 6          # denominator: sum of edge coeffs (3)
-AC_NRM = 9        # normal xyz numerators (9)
-AC_TAN = 18       # tangent xyzw numerators (12)
-AC_BASE = 30      # base color RGBA constants (4)
-AC_EMISSIVE = 34  # emissive RGB constants (3)
-AC_METALLIC = 37
-AC_ROUGHNESS = 38
-AC_ALPHA_CUTOFF = 39
-AC_CTEX = 40      # combined-texture layer id (float-encoded, -1 none)
-AC_MATID = 41     # material id (float-encoded, for debug modes)
+AC_CTEX = 9       # combined-texture layer id (float-encoded, -1 none)
+AC_MATID = 10     # material id (float-encoded, for debug modes)
+AC_ALPHA_CUTOFF = 11
+AC_NRM = 12       # normal xyz numerators (9)
+AC_TAN = 21       # tangent xyzw numerators (12)
+AC_BASE = 33      # base color RGBA constants (4)
+AC_EMISSIVE = 37  # emissive RGB constants (3)
+AC_METALLIC = 40
+AC_ROUGHNESS = 41
 AC_ROWS = 48      # padded to a multiple of 8 sublanes
+AC_EXACT_ROWS = 16  # rows below this are bit-exact in the kernel select
 
 # G-buffer row layout emitted by the rasterizer, per tile
 GB_U = 0
@@ -132,7 +136,12 @@ def eval_gbuffer_channels(sel, xs, ys):
         rows.append(affine(AC_NRM + 3 * k) * inv_s)
     for k in range(4):  # tangent xyzw
         rows.append(affine(AC_TAN + 3 * k) * inv_s)
-    for r in range(AC_BASE, AC_MATID + 1):  # constant channels
+    # constant channels in GB order (GB_BASE..GB_MATID)
+    for r in (
+        AC_BASE, AC_BASE + 1, AC_BASE + 2, AC_BASE + 3,
+        AC_EMISSIVE, AC_EMISSIVE + 1, AC_EMISSIVE + 2,
+        AC_METALLIC, AC_ROUGHNESS, AC_ALPHA_CUTOFF, AC_CTEX, AC_MATID,
+    ):
         rows.append(row(r))
     while len(rows) < GB_ROWS:
         rows.append(jnp.zeros_like(u))

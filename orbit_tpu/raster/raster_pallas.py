@@ -251,8 +251,10 @@ def _gbuffer_kernel(
         @pl.when(jnp.any(win))
         def _():
             # select the winning triangle's attribute coefficients with
-            # tpu.dynamic_gather over [8,128] register chunks (~16x fewer
-            # cycles than the equivalent one-hot f32 matmul)
+            # tpu.dynamic_gather over [8,128] register chunks. MUST be
+            # exact f32: the coefficients are large (pixel-scale x w) and
+            # the affine evaluation cancels catastrophically, so bf16
+            # selection (e.g. a one-hot MXU matmul) corrupts attributes.
             attrs_m = attrs_ref[0]  # [AC_ROWS, 64]
             attrs_w = jnp.concatenate([attrs_m, attrs_m], axis=1)  # ->128
             # pixel-chunk winner ids along SUBLANES (lane-offset slices of
