@@ -266,6 +266,6 @@ def attribute_setup(edges, valid, tri_attrs, assets, mats):
     rows[AC_MATID] = const(mats.astype(jnp.float32))
     zero = jnp.zeros((I, T), jnp.float32)
     rows = [zero if r is None else r for r in rows]
-    # [AC_ROWS, I, T] -> [I, AC_ROWS, T]; zero out invalid triangles
-    attrs = jnp.stack(rows).transpose(1, 0, 2)
+    # build [I, AC_ROWS, T] directly; zero out invalid triangles
+    attrs = jnp.stack(rows, axis=1)
     return jnp.where(valid[:, None, :], attrs, 0.0)
