@@ -366,10 +366,12 @@ class Pipeline:
         elif mode == 6:
             shaded = srgb_to_linear(surface.ao[:, None].repeat(3, -1))
         elif mode == 7:
-            # overdraw visualization placeholder: white where covered
-            shaded = jnp.where(
-                gbuf.valid[:, None], jnp.float32(1.0), jnp.float32(0.0)
-            ) * jnp.ones((H * W, 3))
+            # exact per-pixel overdraw count accumulated by the rasterizer
+            from orbit_tpu.math.color import heat_colormap
+            from orbit_tpu.raster.kernel_common import GB_OVERDRAW
+
+            od = gb[GB_OVERDRAW].reshape(-1)
+            shaded = heat_colormap(jnp.clip(od / 8.0, 0.0, 1.0))
         elif mode == 8:
             if clusters is not None:
                 from orbit_tpu.passes import cluster as cluster_mod

@@ -67,6 +67,7 @@ GB_ROUGHNESS = 21
 GB_ALPHA_CUTOFF = 22
 GB_CTEX = 23
 GB_MATID = 24
+GB_OVERDRAW = 25  # accumulated covering-fragment count (render mode 7)
 GB_ROWS = 32      # padded
 
 
@@ -181,6 +182,10 @@ def raster_meshlet_gbuffer(
     sel = attrs_m[:, best_tri]  # [AC, NP]
     channels = eval_gbuffer_channels(sel, xs, ys)
     new_gb = jnp.where(win[None], channels, gb)
+    # overdraw accumulates over ALL covering fragments (not just winners),
+    # mirroring the reference's additive overdraw visualization
+    coverage = inside.sum(axis=0).astype(jnp.float32)
+    new_gb = new_gb.at[GB_OVERDRAW].set(gb[GB_OVERDRAW] + coverage)
     return new_depth, new_vis, new_gb
 
 

@@ -30,6 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 from orbit_tpu.raster.binning import BinLists
 from orbit_tpu.raster.kernel_common import (
     AC_ROWS,
+    GB_OVERDRAW,
     GB_ROWS,
     eval_gbuffer_channels,
 )
@@ -246,6 +247,15 @@ def _gbuffer_kernel(
         depth_ref[pl.ds(r, 1), :] = jnp.where(win, best_z, cur_d)
         vis_ref[pl.ds(r, 1), :] = jnp.where(win, vis_base + best_tri, cur_v)
 
+        # overdraw accumulates over ALL covering fragments
+        od_row = r * GB_ROWS + GB_OVERDRAW
+        coverage = jnp.sum(
+            inside.astype(jnp.float32), axis=0, keepdims=True
+        )
+        gb_ref[pl.ds(od_row, 1), :] = (
+            gb_ref[pl.ds(od_row, 1), :] + coverage
+        )
+
         # attribute interpolation only runs when this pair won pixels —
         # occluded-but-binned meshlets skip the whole phase
         @pl.when(jnp.any(win))
@@ -273,10 +283,12 @@ def _gbuffer_kernel(
                         ] = jnp.take_along_axis(xrows, idx8, axis=1)
                 sel = sel_scratch[...]
                 channels = eval_gbuffer_channels(sel, xs, ys)
+                # write only the interpolated rows — row GB_OVERDRAW is an
+                # accumulator updated above and must not be clobbered
                 gb_base = r * GB_ROWS
-                cur_g = gb_ref[pl.ds(gb_base, GB_ROWS), :]
-                gb_ref[pl.ds(gb_base, GB_ROWS), :] = jnp.where(
-                    win, channels, cur_g
+                cur_g = gb_ref[pl.ds(gb_base, GB_OVERDRAW), :]
+                gb_ref[pl.ds(gb_base, GB_OVERDRAW), :] = jnp.where(
+                    win, channels[:GB_OVERDRAW], cur_g
                 )
 
             pl.run_scoped(

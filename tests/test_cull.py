@@ -148,3 +148,31 @@ def test_depth_pyramid_min_property():
     lv = jnp.asarray(rng.integers(0, len(pyr.sizes), 64, dtype=np.int32))
     s = np.asarray(sample_pyramid_min(pyr, uv, lv))
     assert (s <= d.max()).all() and (s >= 0).all()
+
+
+def test_frozen_camera_culling(world):
+    """Reference F-key debug: cull with camera B while shading camera A's
+    view — geometry outside B's frustum must disappear from A's image."""
+    store, assets, ameta, scene, smeta = world
+    cfg = _pipeline(store, smeta, frustum=True, cone=False, occlusion=False)
+    pipe = Pipeline(
+        cfg, ameta, smeta, store.h["mesh_lod_count"], smeta.entity_mesh_host
+    )
+    view = make_perspective_view(
+        eye=(0.0, 1.5, 6.0), target=(0.0, 0.0, -2.0), aspect=W / H
+    )
+    # frozen cull camera looks the opposite way: everything gets culled
+    frozen = make_perspective_view(
+        eye=(0.0, 1.5, 6.0), target=(0.0, 0.0, 100.0), aspect=W / H
+    )
+    out_norm, _ = pipe.frame(
+        assets, scene, view, None, pipe.initial_state(), smeta.num_lights
+    )
+    out_frozen, _ = pipe.frame(
+        assets, scene, view, None, pipe.initial_state(), smeta.num_lights,
+        cull_view=frozen.view,
+    )
+    cov_n = (np.asarray(out_norm["vis"]) != 0).mean()
+    cov_f = (np.asarray(out_frozen["vis"]) != 0).mean()
+    assert cov_n > 0.1
+    assert cov_f < cov_n * 0.2, f"frozen cull did not cull: {cov_f} vs {cov_n}"
