@@ -47,7 +47,10 @@ def main():
             backend="pallas" if backend == "tpu" else "xla",
             tile_h=16,
             tile_w=128,
-            pair_capacity=1 << 14,
+            # early-pass worst case over the fly-through is ~10.1k pairs
+            # (near-crossing meshlets get tight wedge bboxes, not full
+            # screen); the raster cost scales with capacity, so keep snug
+            pair_capacity=12288,
         ),
         cull=CullSettings(),
         # capacities size every compacted stage's static cost: keep them

@@ -184,26 +184,49 @@ def triangle_setup_corners(
     ]
     setup = jnp.stack(coefs, axis=-1)  # [I,T,12]
 
-    # meshlet screen bbox: projected corner bounds when safely in front;
-    # full screen for near-crossing meshlets (raster stays exact — only
-    # binning is conservative)
+    # meshlet screen bbox. Front corners (w >= eps) project normally. For
+    # triangles crossing the near plane, the visible region is a wedge:
+    # each crossing edge projects to a RAY from the front corner's
+    # projection through the w=eps intersection and on to infinity (a 3D
+    # segment projects to a straight 2D line, so the ray is exactly
+    # collinear with the w->0+ asymptote). A ray is per-axis monotone, so
+    # the exact conservative bbox extension is a sign test per axis —
+    # no full-screen fallback (which previously binned near-crossing
+    # meshlets to every tile: ~43% of bench pairs were that padding).
     safe_w = jnp.maximum(w, w_eps)
     px = xh / safe_w
     py = yh / safe_w
-    any_near = jnp.any((w < w_eps) & valid[..., None], axis=(1, 2))
+    in_front = w >= w_eps  # [I,T,3]
     big = jnp.float32(3e38)
-    vx = jnp.where(valid[..., None], px, big)
-    vy = jnp.where(valid[..., None], py, big)
-    minx = jnp.min(vx, axis=(1, 2))
-    miny = jnp.min(vy, axis=(1, 2))
-    vx = jnp.where(valid[..., None], px, -big)
-    vy = jnp.where(valid[..., None], py, -big)
-    maxx = jnp.max(vx, axis=(1, 2))
-    maxy = jnp.max(vy, axis=(1, 2))
-    minx = jnp.where(any_near, 0.0, minx)
-    miny = jnp.where(any_near, 0.0, miny)
-    maxx = jnp.where(any_near, jnp.float32(width), maxx)
-    maxy = jnp.where(any_near, jnp.float32(height), maxy)
+    use_c = valid[..., None] & in_front
+    minx = jnp.min(jnp.where(use_c, px, big), axis=(1, 2))
+    miny = jnp.min(jnp.where(use_c, py, big), axis=(1, 2))
+    maxx = jnp.max(jnp.where(use_c, px, -big), axis=(1, 2))
+    maxy = jnp.max(jnp.where(use_c, py, -big), axis=(1, 2))
+
+    for i, j in ((0, 1), (1, 2), (2, 0)):
+        cross = valid & (in_front[..., i] != in_front[..., j])  # [I,T]
+        wi, wj = w[..., i], w[..., j]
+        denom = wj - wi
+        t = (w_eps - wi) / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
+        xi = (xh[..., i] + t * (xh[..., j] - xh[..., i])) / w_eps
+        yi = (yh[..., i] + t * (yh[..., j] - yh[..., i])) / w_eps
+        xf = jnp.where(in_front[..., i], px[..., i], px[..., j])
+        yf = jnp.where(in_front[..., i], py[..., i], py[..., j])
+        # ray starts at the (already-included) front corner; extend the
+        # bbox to infinity in the ray's per-axis direction
+        maxx = jnp.maximum(
+            maxx, jnp.max(jnp.where(cross & (xi >= xf), big, -big), axis=1)
+        )
+        minx = jnp.minimum(
+            minx, jnp.min(jnp.where(cross & (xi <= xf), -big, big), axis=1)
+        )
+        maxy = jnp.maximum(
+            maxy, jnp.max(jnp.where(cross & (yi >= yf), big, -big), axis=1)
+        )
+        miny = jnp.minimum(
+            miny, jnp.min(jnp.where(cross & (yi <= yf), -big, big), axis=1)
+        )
     bbox = jnp.stack(
         [
             jnp.clip(minx, 0.0, width),
@@ -266,6 +289,8 @@ def attribute_setup(edges, valid, tri_attrs, assets, mats):
     rows[AC_MATID] = const(mats.astype(jnp.float32))
     zero = jnp.zeros((I, T), jnp.float32)
     rows = [zero if r is None else r for r in rows]
-    # build [I, AC_ROWS, T] directly; zero out invalid triangles
-    attrs = jnp.stack(rows, axis=1)
-    return jnp.where(valid[:, None, :], attrs, 0.0)
+    # build [I, AC_ROWS, T] directly. Invalid triangles keep their rows:
+    # they can never win (their edge setup rejects every pixel), and the
+    # kernel broadcasts per-meshlet constants from triangle lane 0, which
+    # must stay populated even when triangle 0 is culled.
+    return jnp.stack(rows, axis=1)

@@ -33,23 +33,26 @@ VIS_NONE = 0  # background visibility id
 # plus per-meshlet material constants. Layout [I, AC_ROWS, 64]: rows =
 # channels below, lanes = triangles (transposed for the in-kernel one-hot
 # MXU select). Affine channels occupy 3 rows (a, b, c); constants 1 row.
-# Rows 0..15 are selected exactly (f32 dynamic_gather in the kernel);
-# rows 16+ may be selected through a bf16 one-hot matmul — keep
-# integer-valued and texel-addressing channels in the exact block.
+# Per-TRIANGLE affine rows come first (rows < AC_SELECT_ROWS are run
+# through the per-pixel winner select); per-MESHLET constant rows follow
+# (identical across the meshlet's triangles — the kernel broadcasts them
+# as scalars instead of selecting). All selection is exact f32: the
+# coefficients are pixel-scale x w magnitude and the affine evaluation
+# cancels catastrophically, so bf16 selection is NOT allowed.
 AC_U = 0          # uv.x numerator (3 rows)
 AC_V = 3          # uv.y numerator (3)
 AC_S = 6          # denominator: sum of edge coeffs (3)
-AC_CTEX = 9       # combined-texture layer id (float-encoded, -1 none)
-AC_MATID = 10     # material id (float-encoded, for debug modes)
-AC_ALPHA_CUTOFF = 11
-AC_NRM = 12       # normal xyz numerators (9)
-AC_TAN = 21       # tangent xyzw numerators (12)
-AC_BASE = 33      # base color RGBA constants (4)
-AC_EMISSIVE = 37  # emissive RGB constants (3)
-AC_METALLIC = 40
-AC_ROUGHNESS = 41
+AC_NRM = 9        # normal xyz numerators (9)
+AC_TAN = 18       # tangent xyzw numerators (12)
+AC_SELECT_ROWS = 32  # rows 0..31 go through the winner select (30 used)
+AC_CTEX = 32      # combined-texture layer id (float-encoded, -1 none)
+AC_MATID = 33     # material id (float-encoded, for debug modes)
+AC_ALPHA_CUTOFF = 34
+AC_BASE = 35      # base color RGBA constants (4)
+AC_EMISSIVE = 39  # emissive RGB constants (3)
+AC_METALLIC = 42
+AC_ROUGHNESS = 43
 AC_ROWS = 48      # padded to a multiple of 8 sublanes
-AC_EXACT_ROWS = 16  # rows below this are bit-exact in the kernel select
 
 # G-buffer row layout emitted by the rasterizer, per tile
 GB_U = 0

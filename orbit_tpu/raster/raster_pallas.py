@@ -30,6 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 from orbit_tpu.raster.binning import BinLists
 from orbit_tpu.raster.kernel_common import (
     AC_ROWS,
+    AC_SELECT_ROWS,
     GB_OVERDRAW,
     GB_ROWS,
     eval_gbuffer_channels,
@@ -260,27 +261,34 @@ def _gbuffer_kernel(
         # occluded-but-binned meshlets skip the whole phase
         @pl.when(jnp.any(win))
         def _():
-            # select the winning triangle's attribute coefficients with
-            # tpu.dynamic_gather over [8,128] register chunks. MUST be
-            # exact f32: the coefficients are large (pixel-scale x w) and
-            # the affine evaluation cancels catastrophically, so bf16
-            # selection (e.g. a one-hot MXU matmul) corrupts attributes.
+            # select the winning triangle's per-triangle affine rows with
+            # tpu.dynamic_gather over [8,128] register chunks (exact f32:
+            # the coefficients cancel catastrophically in bf16). The
+            # per-meshlet constant rows are identical for all triangles
+            # and broadcast from lane 0 instead of being selected.
             attrs_m = attrs_ref[0]  # [AC_ROWS, 64]
-            attrs_w = jnp.concatenate([attrs_m, attrs_m], axis=1)  # ->128
+            attrs_w = jnp.concatenate(
+                [attrs_m[:AC_SELECT_ROWS], attrs_m[:AC_SELECT_ROWS]], axis=1
+            )  # lanes->128
             # pixel-chunk winner ids along SUBLANES (lane-offset slices of
             # a [1, TPX] vector are relayouts; sublane slices are free)
             bt_rows = best_tri.reshape(tpx // 128, 128)
+            idx8s = [
+                jnp.broadcast_to(bt_rows[px : px + 1, :], (8, 128))
+                for px in range(tpx // 128)
+            ]
 
             def build_sel(sel_scratch):
-                for cb in range(AC_ROWS // 8):
+                for cb in range(AC_SELECT_ROWS // 8):
                     xrows = attrs_w[cb * 8 : (cb + 1) * 8, :]  # [8, 128]
                     for px in range(tpx // 128):
-                        idx8 = jnp.broadcast_to(
-                            bt_rows[px : px + 1, :], (8, 128)
-                        )
                         sel_scratch[
                             pl.ds(cb * 8, 8), pl.ds(px * 128, 128)
-                        ] = jnp.take_along_axis(xrows, idx8, axis=1)
+                        ] = jnp.take_along_axis(xrows, idx8s[px], axis=1)
+                for row in range(AC_SELECT_ROWS, AC_ROWS):
+                    sel_scratch[pl.ds(row, 1), :] = jnp.broadcast_to(
+                        attrs_m[row : row + 1, 0:1], (1, tpx)
+                    )
                 sel = sel_scratch[...]
                 channels = eval_gbuffer_channels(sel, xs, ys)
                 # write only the interpolated rows — row GB_OVERDRAW is an

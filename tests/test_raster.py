@@ -108,3 +108,54 @@ def test_binning_overflow_flag():
     valid = jnp.ones(100, bool)
     bins = bin_meshlets(bbox, valid, 256, 128, 16, 128, 64)
     assert bool(bins.overflow)
+
+def test_near_crossing_bbox_is_conservative():
+    """Meshlets crossing the near plane get a tight wedge bbox (no
+    full-screen fallback). Conservativeness check: binning with the
+    computed bboxes must produce the same image as binning every meshlet
+    to every tile."""
+    store = AssetStore(AssetCaps())
+    store.add_material()
+    mesh_id = store.add_mesh(proc.plane(size=50.0), build_lods=False)
+    sp = store.add_mesh(proc.uv_sphere(rings=8, sectors=16), build_lods=False)
+    assets, meta = store.to_device()
+    ids, mats = [], []
+    for mid, mat in (
+        (mesh_id, np.eye(4, dtype=np.float32)),  # huge ground plane
+        (sp, np.diag([1, 1, 1, 1]).astype(np.float32)),
+    ):
+        n = int(np.asarray(assets.mesh_lod_count)[mid, 0])
+        off = int(np.asarray(assets.mesh_lod_offset)[mid, 0])
+        ids += list(range(off, off + n))
+        mats += [mat] * n
+    meshlet_ids = jnp.asarray(ids, jnp.int32)
+    mats = jnp.asarray(np.stack(mats))
+    # camera close to the plane, looking along it -> plane crosses w=0
+    view = make_perspective_view(
+        eye=(0.0, 0.3, 4.0), target=(0.0, 0.0, 0.0), aspect=W / H
+    )
+    geom = process_geometry(assets, meshlet_ids, mats, view.view_proj, W, H)
+    bbox = np.asarray(geom.bbox)
+    valid = np.asarray(geom.tri_valid)
+    assert valid.any()
+    # the scene must actually exercise the near-crossing path: some valid
+    # triangle has a corner behind the near plane
+    tri_pos = np.asarray(assets.tri_pos)[np.asarray(meshlet_ids)]
+    ph = np.concatenate([tri_pos, np.ones_like(tri_pos[..., :1])], axis=-1)
+    mvp = np.einsum("ab,ibc->iac", np.asarray(view.view_proj), np.asarray(mats))
+    w = np.einsum("iab,itcb->itca", mvp, ph)[..., 3]
+    assert ((w < 1e-4).any(axis=-1) & valid).any()
+    bins = bin_meshlets(geom.bbox, geom.inst_valid, W, H, 16, 128, 1 << 11)
+    assert not bool(bins.overflow)
+    full = jnp.tile(
+        jnp.array([[0.0, 0.0, float(W), float(H)]]), (len(ids), 1)
+    )
+    bins_full = bin_meshlets(full, geom.inst_valid, W, H, 16, 128, 1 << 11)
+    assert not bool(bins_full.overflow)
+    d1, v1 = rasterize_xla(geom.setup, bins, H, W, 16, 128)
+    d2, v2 = rasterize_xla(geom.setup, bins_full, H, W, 16, 128)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    # and the bboxes are actually tighter than full screen for some meshlet
+    area = (bbox[:, 2] - bbox[:, 0]).clip(0) * (bbox[:, 3] - bbox[:, 1]).clip(0)
+    assert (area < W * H).any()
