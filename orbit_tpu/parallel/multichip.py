@@ -75,7 +75,7 @@ def render_frame_sharded(
         bbox = geom.bbox.at[:, 1].add(-y0).at[:, 3].add(-y0)
         bins = bin_meshlets(
             bbox, geom.inst_valid, width, band_h, cfg.tile_h, cfg.tile_w,
-            cfg.pair_capacity,
+            cfg.pair_capacity, max_z=geom.max_z,
         )
         # rasterize the band with pixel rows offset to global coordinates
         depth, vis = _raster_band(

@@ -47,6 +47,7 @@ def rasterize(
         cfg.tile_h,
         cfg.tile_w,
         cfg.pair_capacity,
+        max_z=geom.max_z,
     )
     backend = cfg.resolve_backend()
     if backend == "xla":
@@ -80,6 +81,7 @@ def rasterize_gbuffer(
         cfg.tile_h,
         cfg.tile_w,
         cfg.pair_capacity,
+        max_z=geom.max_z,
     )
     backend = cfg.resolve_backend()
     if backend == "xla":

@@ -34,12 +34,21 @@ class BinLists:
     tile_start: jax.Array
     tile_count: jax.Array
     overflow: jax.Array
+    pair_maxz: jax.Array
 
 
 def bin_meshlets(
-    bbox, inst_valid, width, height, tile_h, tile_w, pair_capacity
+    bbox, inst_valid, width, height, tile_h, tile_w, pair_capacity,
+    max_z=None,
 ) -> BinLists:
-    """bbox: [I,4] screen bounds; inst_valid: [I] bool."""
+    """bbox: [I,4] screen bounds; inst_valid: [I] bool.
+
+    max_z: optional [I] f32 conservative nearest depth per meshlet
+    (reverse-Z). When given, pairs within a tile are ordered front to back
+    (by a 10-bit depth bucket) and pair_maxz carries the full-precision
+    bound for the rasterizer's early-z skip — the sort-based stand-in for
+    hardware early-Z + front-to-back draw ordering. Without it pair_maxz
+    is 2.0 (skip never fires)."""
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
     n_tiles = ntx * nty
@@ -75,11 +84,22 @@ def bin_meshlets(
     tile = tile_y * ntx + tile_x
     pair_valid = p < total
 
-    # sort by tile; invalid pairs to the end
-    key = jnp.where(pair_valid, tile, n_tiles)
+    # sort by (tile, depth bucket); invalid pairs to the end
+    if max_z is None:
+        maxz_i = jnp.full((counts.shape[0],), 2.0, jnp.float32)
+        bucket = jnp.zeros((counts.shape[0],), jnp.int32)
+    else:
+        maxz_i = max_z.astype(jnp.float32)
+        # front-to-back: nearest (largest reverse-Z bound) first
+        bucket = 1023 - jnp.round(
+            jnp.clip(maxz_i, 0.0, 1.0) * 1023.0
+        ).astype(jnp.int32)
+    key = jnp.where(pair_valid, tile * 1024 + bucket[slot], n_tiles * 1024)
     order = jnp.argsort(key, stable=True)
     sorted_key = key[order]
-    pair_slot = jnp.where(sorted_key < n_tiles, slot[order], -1)
+    in_range = sorted_key < n_tiles * 1024
+    pair_slot = jnp.where(in_range, slot[order], -1)
+    pair_maxz = jnp.where(in_range, maxz_i[slot[order]], -1.0)
 
     # per-tile ranges via bincount + cumsum (no binary searches)
     per_tile = jnp.zeros((n_tiles,), jnp.int32).at[
@@ -89,8 +109,9 @@ def bin_meshlets(
     tile_start = tile_end - per_tile
     return BinLists(
         pair_slot=pair_slot,
-        pair_tile=jnp.where(sorted_key < n_tiles, sorted_key, -1),
+        pair_tile=jnp.where(in_range, sorted_key // 1024, -1),
         tile_start=tile_start,
         tile_count=tile_end - tile_start,
         overflow=total > P,
+        pair_maxz=pair_maxz,
     )

@@ -49,6 +49,9 @@ class GeometryBuffers:
     tri_valid: [I, 64] bool
     bbox:      [I, 4] f32 screen-space meshlet bounds (minx,miny,maxx,maxy)
     inst_valid:[I] bool
+    max_z:     [I] f32 conservative max NDC depth over the meshlet's valid
+               triangles (reverse-Z: larger = nearer). Drives front-to-back
+               pair ordering and the rasterizer's per-pair early-z skip.
     """
 
     setup: jax.Array
@@ -56,6 +59,7 @@ class GeometryBuffers:
     tri_valid: jax.Array
     bbox: jax.Array
     inst_valid: jax.Array
+    max_z: jax.Array
 
 
 def process_geometry(
@@ -89,7 +93,7 @@ def process_geometry(
     if inst_valid is not None:
         tri_in_range = tri_in_range & inst_valid[:, None]
 
-    setup, edges, valid, bbox = triangle_setup_corners(
+    setup, edges, valid, bbox, max_z = triangle_setup_corners(
         clip, tri_in_range, width, height, two_sided, w_eps
     )
 
@@ -108,7 +112,8 @@ def process_geometry(
         else jnp.ones(clip.shape[0], dtype=bool)
     )
     return GeometryBuffers(
-        setup=setup, attrs=attrs, tri_valid=valid, bbox=bbox, inst_valid=iv
+        setup=setup, attrs=attrs, tri_valid=valid, bbox=bbox, inst_valid=iv,
+        max_z=max_z,
     )
 
 
@@ -127,7 +132,7 @@ def triangle_setup_corners(
 
     clip: [I,T,3,4] per-corner clip positions.
     Returns (setup [I,T,12], edges (e0,e1,e2 flipped coeff triples),
-    valid [I,T], bbox [I,4]).
+    valid [I,T], bbox [I,4], max_z [I]).
     """
     w = clip[..., 3]  # [I,T,3]
     xh = (clip[..., 0] * 0.5 + 0.5 * w) * width
@@ -236,7 +241,18 @@ def triangle_setup_corners(
         ],
         axis=-1,
     )
-    return setup, flipped_edges, valid, bbox
+
+    # conservative max NDC depth per meshlet: z_ndc is affine in screen
+    # space, so inside a (non-near-crossing) triangle it is bounded by the
+    # corner values zs/w; a near-crossing triangle can reach any depth up
+    # to the kernel's z <= 1 clamp. Reverse-Z: bigger = nearer. Used for
+    # front-to-back pair ordering + the per-pair early-z skip.
+    zc = jnp.clip(zs / jnp.maximum(w, w_eps), -1.0, 1.0)
+    tri_maxz = jnp.where(
+        jnp.any(w < w_eps, axis=-1), 1.0, jnp.max(zc, axis=-1)
+    )  # [I,T]
+    max_z = jnp.max(jnp.where(valid, tri_maxz, -1.0), axis=1)  # [I]
+    return setup, flipped_edges, valid, bbox, max_z
 
 
 def attribute_setup(edges, valid, tri_attrs, assets, mats):

@@ -39,25 +39,64 @@ from orbit_tpu.raster.kernel_common import (
 _GROUP = 8  # tiles per framebuffer block
 
 
+def _pair_meta(bins: BinLists, P: int):
+    """Pack per-pair scalars: meta = slot<<3 | first_tile<<2 |
+    first_group<<1 | valid, plus the forward-filled tile stream (padding
+    pairs revisit the last real tile so the out-block index stays put)."""
+    pvalid = bins.pair_tile >= 0
+    filled_tile = jax.lax.cummax(jnp.where(pvalid, bins.pair_tile, -1))
+    filled_tile = jnp.maximum(filled_tile, 0)
+    group = filled_tile // _GROUP
+    prev_group = jnp.concatenate([jnp.full((1,), -1, jnp.int32), group[:-1]])
+    first_group = pvalid & (group != prev_group)
+    prev_tile = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32), filled_tile[:-1]]
+    )
+    first_tile = pvalid & (filled_tile != prev_tile)
+    slot = jnp.maximum(bins.pair_slot, 0)
+    meta = (
+        (slot << 3)
+        | (first_tile.astype(jnp.int32) << 2)
+        | (first_group.astype(jnp.int32) << 1)
+        | pvalid.astype(jnp.int32)
+    )
+    return meta, filled_tile
+
+
 def _kernel(
-    meta_ref, tile_ref, setup_ref, init_d_ref, init_v_ref,
-    depth_ref, vis_ref, *, tile_h, tile_w, ntx, vis_base_offset,
+    meta_ref, tile_ref, maxz_ref, setup_ref, init_d_ref, init_v_ref,
+    depth_ref, vis_ref, cur_min_ref,
+    *, tile_h, tile_w, ntx, vis_base_offset,
 ):
     p = pl.program_id(0)
     m = meta_ref[p]
     valid = (m & 1) == 1
-    first = (m & 2) != 0
-    slot = m >> 2
+    first_group = (m & 2) != 0
+    first_tile = (m & 4) != 0
+    slot = m >> 3
 
-    @pl.when(first)
+    @pl.when(first_group)
     def _():
         depth_ref[...] = init_d_ref[...]
         vis_ref[...] = init_v_ref[...]
 
-    @pl.when(valid)
+    tile = tile_ref[p]
+    r = tile % _GROUP
+
+    # tile's running min depth (SMEM scalar): the early-z reference.
+    # Reset at each tile's first pair AFTER the group init above — for a
+    # late pass this starts at the early pass's depth, so fully-occluded
+    # pairs skip even before drawing anything.
+    @pl.when(valid & first_tile)
     def _():
-        tile = tile_ref[p]
-        r = tile % _GROUP
+        cur_min_ref[0, 0] = jnp.min(depth_ref[pl.ds(r, 1), :])
+
+    # early-z skip: if this meshlet's conservative nearest depth cannot
+    # beat the tile's farthest pixel, no fragment can win — skip the step
+    active = valid & (maxz_ref[p] > cur_min_ref[0, 0])
+
+    @pl.when(active)
+    def _():
         ty = (tile // ntx).astype(jnp.float32)
         tx = (tile % ntx).astype(jnp.float32)
         tpx = tile_h * tile_w
@@ -88,8 +127,14 @@ def _kernel(
         cur_d = depth_ref[pl.ds(r, 1), :]
         cur_v = vis_ref[pl.ds(r, 1), :]
         win = best_z > cur_d
-        depth_ref[pl.ds(r, 1), :] = jnp.where(win, best_z, cur_d)
+        new_d = jnp.where(win, best_z, cur_d)
+        depth_ref[pl.ds(r, 1), :] = new_d
         vis_ref[pl.ds(r, 1), :] = jnp.where(win, vis_base + best_tri, cur_v)
+
+        # cur_min can only change when some pixel's depth rose
+        @pl.when(jnp.any(win))
+        def _():
+            cur_min_ref[0, 0] = jnp.min(new_d)
 
 
 def rasterize_pallas(
@@ -140,32 +185,23 @@ def rasterize_pallas(
         init_d = to_tiles(init[0])
         init_v = to_tiles(init[1])
 
-    pvalid = bins.pair_tile >= 0
-    filled_tile = jax.lax.cummax(jnp.where(pvalid, bins.pair_tile, -1))
-    filled_tile = jnp.maximum(filled_tile, 0)
-    # "first" fires when the 8-tile GROUP changes (block granularity)
-    group = filled_tile // _GROUP
-    prev_group = jnp.concatenate([jnp.full((1,), -1, jnp.int32), group[:-1]])
-    first = pvalid & (group != prev_group)
-    slot = jnp.maximum(bins.pair_slot, 0)
-    meta = (slot << 2) | (first.astype(jnp.int32) << 1) | pvalid.astype(
-        jnp.int32
-    )
+    meta, filled_tile = _pair_meta(bins, P)
 
     fb_spec = pl.BlockSpec(
-        (_GROUP, tpx), lambda p, meta, tile: (tile[p] // _GROUP, 0)
+        (_GROUP, tpx), lambda p, meta, tile, maxz: (tile[p] // _GROUP, 0)
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(P,),
         in_specs=[
             pl.BlockSpec(
-                (1, 64, 12), lambda p, meta, tile: (meta[p] >> 2, 0, 0)
+                (1, 64, 12), lambda p, meta, tile, maxz: (meta[p] >> 3, 0, 0)
             ),
             fb_spec,
             fb_spec,
         ],
         out_specs=[fb_spec, fb_spec],
+        scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
     )
 
     depth_t, vis_t = pl.pallas_call(
@@ -182,7 +218,8 @@ def rasterize_pallas(
             jax.ShapeDtypeStruct((n_tiles_pad, tpx), jnp.int32),
         ],
         interpret=interpret,
-    )(meta, filled_tile, setup, init_d, init_v)
+    )(meta, filled_tile, bins.pair_maxz, setup, init_d, init_v)
+    pvalid = bins.pair_tile >= 0
 
     # tiles whose GROUP no pair ever visited hold garbage: restore init
     group_ids = jnp.arange(n_tiles_pad, dtype=jnp.int32) // _GROUP
@@ -196,26 +233,38 @@ def rasterize_pallas(
 
 
 def _gbuffer_kernel(
-    meta_ref, tile_ref, setup_ref, attrs_ref, init_d_ref, init_v_ref,
-    init_g_ref, depth_ref, vis_ref, gb_ref,
+    meta_ref, tile_ref, maxz_ref, setup_ref, attrs_ref, init_d_ref,
+    init_v_ref, init_g_ref, depth_ref, vis_ref, gb_ref, cur_min_ref,
     *, tile_h, tile_w, ntx, vis_base_offset,
 ):
     p = pl.program_id(0)
     m = meta_ref[p]
     valid = (m & 1) == 1
-    first = (m & 2) != 0
-    slot = m >> 2
+    first_group = (m & 2) != 0
+    first_tile = (m & 4) != 0
+    slot = m >> 3
 
-    @pl.when(first)
+    @pl.when(first_group)
     def _():
         depth_ref[...] = init_d_ref[...]
         vis_ref[...] = init_v_ref[...]
         gb_ref[...] = init_g_ref[...]
 
-    @pl.when(valid)
+    tile = tile_ref[p]
+    r = tile % _GROUP
+
+    @pl.when(valid & first_tile)
     def _():
-        tile = tile_ref[p]
-        r = tile % _GROUP
+        cur_min_ref[0, 0] = jnp.min(depth_ref[pl.ds(r, 1), :])
+
+    # early-z skip (see _kernel): with front-to-back pair ordering, pairs
+    # fully occluded by already-drawn geometry skip the entire step —
+    # including the attribute phase and the overdraw coverage, exactly as
+    # a hardware early-Z test would discard their fragments
+    active = valid & (maxz_ref[p] > cur_min_ref[0, 0])
+
+    @pl.when(active)
+    def _():
         ty = (tile // ntx).astype(jnp.float32)
         tx = (tile % ntx).astype(jnp.float32)
         tpx = tile_h * tile_w
@@ -245,10 +294,11 @@ def _gbuffer_kernel(
         cur_d = depth_ref[pl.ds(r, 1), :]
         cur_v = vis_ref[pl.ds(r, 1), :]
         win = best_z > cur_d
-        depth_ref[pl.ds(r, 1), :] = jnp.where(win, best_z, cur_d)
+        new_d = jnp.where(win, best_z, cur_d)
+        depth_ref[pl.ds(r, 1), :] = new_d
         vis_ref[pl.ds(r, 1), :] = jnp.where(win, vis_base + best_tri, cur_v)
 
-        # overdraw accumulates over ALL covering fragments
+        # overdraw accumulates over all covering fragments of active pairs
         od_row = r * GB_ROWS + GB_OVERDRAW
         coverage = jnp.sum(
             inside.astype(jnp.float32), axis=0, keepdims=True
@@ -258,9 +308,12 @@ def _gbuffer_kernel(
         )
 
         # attribute interpolation only runs when this pair won pixels —
-        # occluded-but-binned meshlets skip the whole phase
+        # occluded-but-binned meshlets skip the whole phase. cur_min can
+        # only have changed if some pixel's depth rose, so the min-reduce
+        # also lives here (exactly semantics-preserving).
         @pl.when(jnp.any(win))
         def _():
+            cur_min_ref[0, 0] = jnp.min(new_d)
             # select the winning triangle's per-triangle affine rows with
             # tpu.dynamic_gather over [8,128] register chunks (exact f32:
             # the coefficients cancel catastrophically in bf16). The
@@ -359,38 +412,32 @@ def rasterize_pallas_gbuffer(
         g = to_tiles(init[2])  # [GB, n_tiles_pad, tpx]
         init_g = g.transpose(1, 0, 2).reshape(n_tiles_pad * GB_ROWS, tpx)
 
-    pvalid = bins.pair_tile >= 0
-    filled_tile = jax.lax.cummax(jnp.where(pvalid, bins.pair_tile, -1))
-    filled_tile = jnp.maximum(filled_tile, 0)
-    group = filled_tile // _GROUP
-    prev_group = jnp.concatenate([jnp.full((1,), -1, jnp.int32), group[:-1]])
-    first = pvalid & (group != prev_group)
-    slot = jnp.maximum(bins.pair_slot, 0)
-    meta = (slot << 2) | (first.astype(jnp.int32) << 1) | pvalid.astype(
-        jnp.int32
-    )
+    meta, filled_tile = _pair_meta(bins, P)
 
     fb_spec = pl.BlockSpec(
-        (_GROUP, tpx), lambda p, meta, tile: (tile[p] // _GROUP, 0)
+        (_GROUP, tpx), lambda p, meta, tile, maxz: (tile[p] // _GROUP, 0)
     )
     gb_spec = pl.BlockSpec(
-        (_GROUP * GB_ROWS, tpx), lambda p, meta, tile: (tile[p] // _GROUP, 0)
+        (_GROUP * GB_ROWS, tpx),
+        lambda p, meta, tile, maxz: (tile[p] // _GROUP, 0),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(P,),
         in_specs=[
             pl.BlockSpec(
-                (1, 64, 12), lambda p, meta, tile: (meta[p] >> 2, 0, 0)
+                (1, 64, 12), lambda p, meta, tile, maxz: (meta[p] >> 3, 0, 0)
             ),
             pl.BlockSpec(
-                (1, AC_ROWS, 64), lambda p, meta, tile: (meta[p] >> 2, 0, 0)
+                (1, AC_ROWS, 64),
+                lambda p, meta, tile, maxz: (meta[p] >> 3, 0, 0),
             ),
             fb_spec,
             fb_spec,
             gb_spec,
         ],
         out_specs=[fb_spec, fb_spec, gb_spec],
+        scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
     )
 
     depth_t, vis_t, gb_t = pl.pallas_call(
@@ -408,7 +455,8 @@ def rasterize_pallas_gbuffer(
             jax.ShapeDtypeStruct((n_tiles_pad * GB_ROWS, tpx), jnp.float32),
         ],
         interpret=interpret,
-    )(meta, filled_tile, setup, attrs, init_d, init_v, init_g)
+    )(meta, filled_tile, bins.pair_maxz, setup, attrs, init_d, init_v, init_g)
+    pvalid = bins.pair_tile >= 0
 
     group_ids = jnp.arange(n_tiles_pad, dtype=jnp.int32) // _GROUP
     visited_groups = jnp.zeros((n_tiles_pad // _GROUP,), bool).at[

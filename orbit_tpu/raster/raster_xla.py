@@ -57,11 +57,21 @@ def rasterize_xla(
         xs, ys = tile_pixel_centers(t // ntx, t % ntx, tile_h, tile_w)
 
         def body(k, carry):
-            depth, vis = carry
+            depth, vis, cur_min = carry
             slot = bins.pair_slot[start + k]
             setup_m = setup_flat[slot].reshape(-1, 12)
             vis_base = ((slot + vis_base_offset) << VIS_TRI_BITS) + 1
-            return raster_meshlet_on_tile(setup_m, vis_base, xs, ys, depth, vis)
+            # early-z skip (must mirror the Pallas kernel exactly): a pair
+            # whose conservative nearest depth cannot beat the tile's
+            # current min depth cannot win any pixel
+            active = bins.pair_maxz[start + k] > cur_min
+            nd, nv = raster_meshlet_on_tile(
+                setup_m, vis_base, xs, ys, depth, vis
+            )
+            nd = jnp.where(active, nd, depth)
+            nv = jnp.where(active, nv, vis)
+            cur_min = jnp.where(active, jnp.min(nd), cur_min)
+            return nd, nv, cur_min
 
         if init is None:
             depth0 = jnp.zeros((tpx,), jnp.float32)
@@ -69,7 +79,9 @@ def rasterize_xla(
         else:
             depth0 = init_d[t]
             vis0 = init_v[t]
-        depth, vis = jax.lax.fori_loop(0, count, body, (depth0, vis0))
+        depth, vis, _ = jax.lax.fori_loop(
+            0, count, body, (depth0, vis0, jnp.min(depth0))
+        )
         return depth.reshape(tile_h, tile_w), vis.reshape(tile_h, tile_w)
 
     depth_t, vis_t = jax.vmap(do_tile)(jnp.arange(n_tiles, dtype=jnp.int32))
@@ -127,14 +139,22 @@ def rasterize_xla_gbuffer(
         xs, ys = tile_pixel_centers(t // ntx, t % ntx, tile_h, tile_w)
 
         def body(k, carry):
-            depth, vis, gb = carry
+            depth, vis, gb, cur_min = carry
             slot = bins.pair_slot[start + k]
             setup_m = setup_flat[slot].reshape(-1, 12)
             attrs_m = attrs_flat[slot].reshape(ac_rows, -1)
             vis_base = ((slot + vis_base_offset) << VIS_TRI_BITS) + 1
-            return raster_meshlet_gbuffer(
+            # early-z skip — mirrors the Pallas kernel; a skipped pair
+            # contributes nothing, including overdraw coverage
+            active = bins.pair_maxz[start + k] > cur_min
+            nd, nv, ng = raster_meshlet_gbuffer(
                 setup_m, attrs_m, vis_base, xs, ys, depth, vis, gb
             )
+            nd = jnp.where(active, nd, depth)
+            nv = jnp.where(active, nv, vis)
+            ng = jnp.where(active, ng, gb)
+            cur_min = jnp.where(active, jnp.min(nd), cur_min)
+            return nd, nv, ng, cur_min
 
         if init is None:
             c0 = (
@@ -144,7 +164,9 @@ def rasterize_xla_gbuffer(
             )
         else:
             c0 = (init_d[t], init_v[t], init_g[:, t])
-        depth, vis, gb = jax.lax.fori_loop(0, count, body, c0)
+        depth, vis, gb, _ = jax.lax.fori_loop(
+            0, count, body, c0 + (jnp.min(c0[0]),)
+        )
         return (
             depth.reshape(tile_h, tile_w),
             vis.reshape(tile_h, tile_w),

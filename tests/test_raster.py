@@ -159,3 +159,37 @@ def test_near_crossing_bbox_is_conservative():
     # and the bboxes are actually tighter than full screen for some meshlet
     area = (bbox[:, 2] - bbox[:, 0]).clip(0) * (bbox[:, 3] - bbox[:, 1]).clip(0)
     assert (area < W * H).any()
+
+def test_gbuffer_pallas_matches_xla_with_earlyz():
+    """G-buffer differential: pallas-interpret vs XLA twin, with
+    front-to-back pair ordering + per-pair early-z skip enabled. Also
+    checks skip invariance: depth/vis identical to a no-skip render."""
+    from orbit_tpu.raster.raster_pallas import rasterize_pallas_gbuffer
+    from orbit_tpu.raster.raster_xla import rasterize_xla_gbuffer
+
+    geom, n = _sphere_setup()
+    bins = bin_meshlets(
+        geom.bbox, geom.inst_valid, W, H, 16, 128, 1 << 10,
+        max_z=geom.max_z,
+    )
+    assert not bool(bins.overflow)
+    d_x, v_x, g_x = rasterize_xla_gbuffer(
+        geom.setup, geom.attrs, bins, H, W, 16, 128
+    )
+    d_p, v_p, g_p = rasterize_pallas_gbuffer(
+        geom.setup, geom.attrs, bins, H, W, 16, 128, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(d_p), np.asarray(d_x))
+    np.testing.assert_array_equal(np.asarray(v_p), np.asarray(v_x))
+    np.testing.assert_array_equal(np.asarray(g_p), np.asarray(g_x))
+
+    # skip must be invisible on depth/vis (overdraw legitimately differs:
+    # early-z discards occluded fragments like hardware early-Z would)
+    bins_ns = bin_meshlets(geom.bbox, geom.inst_valid, W, H, 16, 128, 1 << 10)
+    d_n, v_n, _ = rasterize_xla_gbuffer(
+        geom.setup, geom.attrs, bins_ns, H, W, 16, 128
+    )
+    np.testing.assert_array_equal(np.asarray(d_x), np.asarray(d_n))
+    # vis can differ only on exact-z ties reordered by the depth sort
+    agree = (np.asarray(v_x) == np.asarray(v_n)).mean()
+    assert agree > 0.999, f"vis agreement {agree}"
