@@ -104,6 +104,96 @@ def render_frame_sharded(
     )
 
 
+def stack_pytrees(trees):
+    """Stack a list of identical-structure pytrees along a new axis 0."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def frame_sharded(
+    pipe,
+    assets,
+    scene,
+    view_stack,  # ViewParams pytree stacked [V, ...] along axis 0
+    env,
+    state_stack,  # VisibilityState pytree stacked [V, ...]
+    num_lights: int,
+    mesh: Mesh,
+):
+    """The FULL pipeline frame sharded over a ('view' x 'fb') device mesh.
+
+    Each device runs two-phase occlusion culling (replicated within its
+    view), rasterizes + shades only its framebuffer band, and full-frame
+    consumers (HiZ pyramid, SSAO, clusters, bloom/post) all-gather over
+    the 'fb' axis. Assets/scene are replicated (the "weights"); views and
+    visibility state are data-parallel over 'view'.
+
+    Returns (color [V,H,W,3] u8 — genuinely band-sharded over 'fb',
+    hdr [V,H,W,3], depth [V,H,W], vis [V,H,W], overflow [V] bool,
+    new_state stacked [V, ...]). Every output is bit-identical to V
+    independent single-device `pipe.frame` calls (asserted by the driver
+    dry run): band binning preserves per-tile pair order and band raster
+    evaluates pixel centers in global coordinates.
+    """
+    from orbit_tpu.pipeline import BandInfo
+
+    cfg = pipe.config
+    n_fb = mesh.shape["fb"]
+    tile_h = cfg.raster.tile_h
+    H = cfg.height * cfg.supersample
+    W = cfg.width * cfg.supersample
+    assert H % (tile_h * n_fb) == 0, (
+        f"height {H} must split into {n_fb} bands of whole {tile_h}-px "
+        "tile rows"
+    )
+    rows_per_band = H // tile_h // n_fb
+    band_px = rows_per_band * tile_h
+
+    def device_fn(view_s, state_s, assets, scene, env):
+        view = jax.tree.map(lambda x: x[0], view_s)
+        state = jax.tree.map(lambda x: x[0], state_s)
+        band = BandInfo(
+            axis="fb",
+            n_bands=n_fb,
+            rows_per_band=rows_per_band,
+            row0=jax.lax.axis_index("fb") * rows_per_band,
+        )
+        out, new_state = pipe.frame(
+            assets, scene, view, env, state, num_lights, band=band
+        )
+        # post ran on the gathered frame (replicated across 'fb'); emit
+        # only this device's band so the color output is genuinely sharded
+        color_band = jax.lax.dynamic_slice(
+            out["color"],
+            (band.row0 * tile_h, 0, 0),
+            (band_px, out["color"].shape[1], 3),
+        )
+        rep = lambda x: x[None]  # noqa: E731
+        return (
+            color_band[None],
+            rep(out["hdr"]),
+            rep(out["depth"]),
+            rep(out["vis"]),
+            rep(out["overflow"]),
+            jax.tree.map(rep, new_state),
+        )
+
+    fn = jax.shard_map(
+        device_fn,
+        mesh=mesh,
+        in_specs=(P("view"), P("view"), P(), P(), P()),
+        out_specs=(
+            P("view", "fb"),
+            P("view"),
+            P("view"),
+            P("view"),
+            P("view"),
+            P("view"),
+        ),
+        check_vma=False,
+    )
+    return fn(view_stack, state_stack, assets, scene, env)
+
+
 def _raster_band(setup, bins, band_h, width, cfg, y_offset):
     """Rasterize one horizontal band; pixel centers offset by y_offset."""
     # reuse the XLA tile rasterizer on the band, then shift depth plane

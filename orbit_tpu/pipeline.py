@@ -58,6 +58,34 @@ from orbit_tpu.shade import pbr as pbr_mod
 
 
 @dataclass(frozen=True)
+class BandInfo:
+    """Multi-chip framebuffer-band context (the 'fb' mesh axis).
+
+    When a frame runs inside shard_map over a device mesh with an 'fb'
+    axis, each device renders a horizontal band of the framebuffer:
+    binning/raster/shading are band-local, while full-frame consumers
+    (HiZ pyramid, SSAO, clusters, bloom) all-gather over ICI. Band
+    output is bit-identical to the same rows of a single-device frame.
+    Replaces the reference's single-GPU queue model (device.rs:700-735)
+    with the TPU-native scaling axis."""
+
+    axis: str  # mesh axis name to all_gather over
+    n_bands: int  # static device count along the axis
+    rows_per_band: int  # static band height in raster tile rows
+    row0: object  # first global tile row of this band (traced ok)
+
+    def gather(self, x):
+        """Concatenate bands along rows (axis 0) into the full image."""
+        return jax.lax.all_gather(x, self.axis, axis=0, tiled=True)
+
+    def slice_rows(self, x_full, tile_h: int):
+        """Take this band's pixel rows from a full-height image."""
+        start = (self.row0 * tile_h,) + (0,) * (x_full.ndim - 1)
+        shape = (self.rows_per_band * tile_h,) + x_full.shape[1:]
+        return jax.lax.dynamic_slice(x_full, start, shape)
+
+
+@dataclass(frozen=True)
 class CullSettings:
     frustum: bool = True
     cone: bool = True
@@ -91,6 +119,12 @@ class PipelineConfig:
     texture_filter: str = "nearest"  # nearest | bilinear | trilinear
     env_filter: str = "nearest"  # nearest | nearest_mip | trilinear
     supersample: int = 1  # SSAA factor (the TPU MSAA: k*k shading samples)
+    # fused deferred shade: ONE Pallas kernel from G-buffer tiles to sRGB
+    # (shade/fused.py), consuming the rasterizer's native tile layout.
+    # Auto-falls-back to the op-by-op XLA shade for configs the kernel
+    # does not cover (debug modes, SSAO/clusters/shadows/bloom/SSAA,
+    # non-nearest filtering, band-sharded frames).
+    fused_shade: bool = True
 
 
 class Pipeline:
@@ -123,14 +157,23 @@ class Pipeline:
         view: ViewParams,
         state: VisibilityState,
         cull_view: Optional[jax.Array] = None,
+        band: Optional[BandInfo] = None,
+        tiled_io: bool = False,
     ):
         """The two-phase cull+raster producing the final visibility buffer.
 
         Returns (depth, vis, inst arrays (concatenated early+late), setup,
-        new_state, overflow).
+        new_state, overflow). With `band`, the returned images are this
+        device's framebuffer band; culling is replicated (identical on
+        every band of a view) and the HiZ pyramid is built from the
+        all-gathered early depth. With `tiled_io`, framebuffers stay in
+        the rasterizer's native tile layout throughout (raster.layout).
         """
         cfg = self.config
         W, H = cfg.width * cfg.supersample, cfg.height * cfg.supersample
+        row_window = None
+        if band is not None:
+            row_window = (band.row0, band.rows_per_band)
         C = cfg.instance_capacity
         cv = view.view if cull_view is None else cull_view
         two_pass = cfg.cull.occlusion
@@ -194,7 +237,8 @@ class Pipeline:
                 inst_valid=draw_m,
             )
             depth, vis, gb, bins = rasterize_gbuffer(
-                geom, H, W, raster_cfg, init=init, vis_base_offset=base
+                geom, H, W, raster_cfg, init=init, vis_base_offset=base,
+                row_window=row_window, tiled_io=tiled_io,
             )
             return dict(
                 ie=ie, im=im, il=il, iv=iv, vis_m=vis_m, vis_e=vis_e,
@@ -204,7 +248,16 @@ class Pipeline:
 
         if two_pass:
             early = run_pass(PASS_EARLY, None, state.entity_visible, None, 0)
-            pyramid = build_depth_pyramid(early["depth"])
+            early_depth = early["depth"]
+            if tiled_io:
+                from orbit_tpu.raster.layout import tiles_to_image
+
+                early_depth = tiles_to_image(
+                    early_depth, H, W, cfg.raster.tile_h, cfg.raster.tile_w
+                )
+            if band is not None:
+                early_depth = band.gather(early_depth)
+            pyramid = build_depth_pyramid(early_depth)
             late = run_pass(
                 PASS_LATE, pyramid, None,
                 (early["depth"], early["vis"], early["gb"]), C,
@@ -229,6 +282,41 @@ class Pipeline:
         return depth, vis, gb, new_state, overflow
 
     # ------------------------------------------------------------------
+    def _frame_fused(
+        self, assets, scene, view, env, state, num_lights, cull_view
+    ):
+        """The fast path: tiled raster -> ONE fused Pallas shade kernel.
+
+        No image<->tile transposes anywhere except the cheap final
+        depth/vis/color conversions and the HiZ pyramid input."""
+        from orbit_tpu.raster.layout import tiles_to_image
+        from orbit_tpu.shade.fused import shade_deferred_tiled, unpack_color
+
+        cfg = self.config
+        W, H = cfg.width, cfg.height
+        th, tw = cfg.raster.tile_h, cfg.raster.tile_w
+        depth_t, vis_t, gb_t, new_state, overflow = self.cull_and_raster(
+            assets, scene, view, state, cull_view, tiled_io=True
+        )
+        backend = cfg.raster.resolve_backend()
+        color_u32 = shade_deferred_tiled(
+            assets, scene, env, view, gb_t, depth_t,
+            height=H, width=W, tile_h=th, tile_w=tw,
+            light_kinds=tuple(self.scene_meta.light_types[:num_lights]),
+            exposure=cfg.exposure,
+            backend="xla" if backend == "xla" else "pallas",
+            interpret=(backend == "pallas_interpret"),
+        )
+        out = {
+            "color": unpack_color(color_u32, H, W, th, tw),
+            "hdr": None,
+            "depth": tiles_to_image(depth_t, H, W, th, tw),
+            "vis": tiles_to_image(vis_t, H, W, th, tw),
+            "overflow": overflow,
+        }
+        return out, new_state
+
+    # ------------------------------------------------------------------
     def frame(
         self,
         assets,
@@ -238,16 +326,44 @@ class Pipeline:
         state: VisibilityState,
         num_lights: int,
         cull_view: Optional[jax.Array] = None,
+        band: Optional[BandInfo] = None,
     ):
         cfg = self.config
         W, H = cfg.width * cfg.supersample, cfg.height * cfg.supersample
+        if band is not None:
+            assert cfg.supersample == 1, "band mode does not support SSAA"
+            Hl = band.rows_per_band * cfg.raster.tile_h
+            row0_px = band.row0 * cfg.raster.tile_h
+        else:
+            Hl, row0_px = H, 0
+
+        use_fused = (
+            cfg.fused_shade
+            and band is None
+            and cfg.render_mode == 0
+            and env is not None
+            and cfg.ssao is None
+            and cfg.clusters is None
+            and cfg.shadows is None
+            and cfg.bloom is None
+            and cfg.supersample == 1
+            and cfg.texture_filter == "nearest"
+            and cfg.env_filter == "nearest"
+        )
+        if use_fused:
+            return self._frame_fused(
+                assets, scene, view, env, state, num_lights, cull_view
+            )
+
         depth, vis, gb, new_state, overflow = self.cull_and_raster(
-            assets, scene, view, state, cull_view
+            assets, scene, view, state, cull_view, band=band
         )
 
         inv_vp = jnp.linalg.inv(view.view_proj)
 
-        # SSAO (reference: ssao.rs + ssao.comp; uses G-buffer normals)
+        # SSAO (reference: ssao.rs + ssao.comp; uses G-buffer normals).
+        # Neighborhood taps cross band borders, so in band mode SSAO runs
+        # on the all-gathered depth/normals and slices its band back out.
         ssao_flat = None
         if cfg.ssao is not None and not view.is_ortho:
             from orbit_tpu.math.transforms import normalize as _nrm
@@ -256,14 +372,23 @@ class Pipeline:
 
             n_world = _nrm(gb[GB_NRM : GB_NRM + 3].reshape(3, -1).T)
             normal_view = n_world @ view.view[:3, :3].T
+            nv_img = normal_view.reshape(Hl, W, 3)
+            depth_img = depth
+            if band is not None:
+                nv_img = band.gather(nv_img)
+                depth_img = band.gather(depth_img)
             ao_img = ssao_mod.compute_ssao(
-                depth, normal_view.reshape(H, W, 3), view, cfg.ssao
+                depth_img, nv_img, view, cfg.ssao
             )
+            if band is not None:
+                ao_img = band.slice_rows(ao_img, cfg.raster.tile_h)
             ssao_flat = ao_img.reshape(-1)
 
         surface, gbuf = gbuffer_mod.surface_from_gbuffer(
             assets, gb, depth, vis, inv_vp,
             texture_filter=cfg.texture_filter, ssao=ssao_flat,
+            row_offset_px=row0_px,
+            full_size=(H, W) if band is not None else None,
         )
 
         shadow_fn = None
@@ -292,10 +417,10 @@ class Pipeline:
                     instance_capacity=cfg.instance_capacity,
                 )
                 px = (
-                    jnp.arange(W * H, dtype=jnp.int32) % W
+                    jnp.arange(W * Hl, dtype=jnp.int32) % W
                 ).astype(jnp.float32) + 0.5
                 py = (
-                    jnp.arange(W * H, dtype=jnp.int32) // W
+                    jnp.arange(W * Hl, dtype=jnp.int32) // W + row0_px
                 ).astype(jnp.float32) + 0.5
                 pixel_xy = jnp.stack([px, py], axis=-1)
 
@@ -316,12 +441,19 @@ class Pipeline:
         if cfg.clusters is not None:
             from orbit_tpu.passes import cluster as cluster_mod
 
+            # cluster building consumes the whole depth image (active-
+            # cluster marking is a full-screen scatter); bands all-gather
+            depth_full = depth if band is None else band.gather(depth)
             clusters = cluster_mod.build_clusters(
-                depth, scene, num_lights, view, cfg.clusters
+                depth_full, scene, num_lights, view, cfg.clusters
             )
             cluster_ids = cluster_mod.pixel_cluster_ids(
-                depth, view, cfg.clusters
+                depth_full, view, cfg.clusters
             )
+            if band is not None:
+                cluster_ids = band.slice_rows(
+                    cluster_ids.reshape(H, W), cfg.raster.tile_h
+                ).reshape(-1)
             light_slots = [
                 i
                 for i, t in enumerate(self.scene_meta.light_types[:num_lights])
@@ -354,7 +486,7 @@ class Pipeline:
                 ) * jnp.maximum(lit, 0.2)
                 shaded = cc * (0.3 + diffuse)[:, None]
             else:
-                shaded = jnp.full((H * W, 3), 0.25)
+                shaded = jnp.full((Hl * W, 3), 0.25)
         elif mode == 2:
             shaded = srgb_to_linear(surface.normal * 0.5 + 0.5)
         elif mode == 3:
@@ -377,10 +509,10 @@ class Pipeline:
                 from orbit_tpu.passes import cluster as cluster_mod
 
                 shaded = cluster_mod.cluster_heatmap(
-                    clusters, cluster_ids, (H * W,)
-                ).reshape(H * W, 3)
+                    clusters, cluster_ids, (Hl * W,)
+                ).reshape(Hl * W, 3)
             else:
-                shaded = jnp.zeros((H * W, 3))
+                shaded = jnp.zeros((Hl * W, 3))
         elif mode == 9:
             h = uint_hash(gbuf.meshlet.astype(jnp.uint32))
             shaded = srgb_to_linear(
@@ -410,7 +542,9 @@ class Pipeline:
                     * surface.normal
                     - vdir
                 )
-                bg_dirs = camera_ray_dirs(view, W, H).reshape(-1, 3)
+                bg_dirs = camera_ray_dirs(
+                    view, W, Hl, row0=row0_px, full_height=H
+                ).reshape(-1, 3)
                 dir_all = jnp.where(gbuf.valid[:, None], rdir, bg_dirs)
                 rough_all = jnp.where(gbuf.valid, surface.roughness, 0.0)
                 spec_sample = ibl_mod.sample_specular(
@@ -429,13 +563,23 @@ class Pipeline:
                     cfg.clusters.luminance_cutoff,
                 )
 
-        hdr = shaded.reshape(H, W, 3)
+        hdr = shaded.reshape(Hl, W, 3)
         if env is not None and mode == 0 and sky_img is not None:
             hdr = jnp.where(
-                gbuf.valid.reshape(H, W, 1), hdr, sky_img.reshape(H, W, 3)
+                gbuf.valid.reshape(Hl, W, 1), hdr, sky_img.reshape(Hl, W, 3)
             )
         else:
-            hdr = jnp.where(gbuf.valid.reshape(H, W, 1), hdr, 0.0)
+            hdr = jnp.where(gbuf.valid.reshape(Hl, W, 1), hdr, 0.0)
+
+        if band is not None:
+            # full-frame post (bloom kernels cross band borders): gather
+            # the shaded bands over ICI; downstream post runs replicated
+            hdr = band.gather(hdr)
+            depth = band.gather(depth)
+            vis = band.gather(vis)
+            overflow = (
+                jax.lax.pmax(overflow.astype(jnp.int32), band.axis) > 0
+            )
 
         if cfg.supersample > 1:
             from orbit_tpu.passes.hdr_resolve import resolve_supersampled

@@ -37,8 +37,16 @@ def rasterize(
     cfg: RasterConfig,
     init=None,
     vis_base_offset: int = 0,
+    row_window=None,
 ):
-    """Returns (depth [H,W] f32 reverse-Z, vis [H,W] i32, bins)."""
+    """Returns (depth [H,W] f32 reverse-Z, vis [H,W] i32, bins).
+
+    row_window: optional (row0_tiles, num_rows_tiles) — rasterize only the
+    framebuffer band covering those global tile rows (multi-chip 'fb'
+    sharding). The returned images then have num_rows*tile_h rows, and
+    `init` must be band-sized. Band output is bit-identical to the same
+    rows of a full-screen rasterization."""
+    row0, local_h = _window(height, cfg, row_window)
     bins = bin_meshlets(
         geom.bbox,
         geom.inst_valid,
@@ -48,20 +56,35 @@ def rasterize(
         cfg.tile_w,
         cfg.pair_capacity,
         max_z=geom.max_z,
+        row0=row0,
+        num_rows=None if row_window is None else row_window[1],
     )
     backend = cfg.resolve_backend()
     if backend == "xla":
         depth, vis = rasterize_xla(
-            geom.setup, bins, height, width, cfg.tile_h, cfg.tile_w,
+            geom.setup, bins, local_h, width, cfg.tile_h, cfg.tile_w,
             init=init, vis_base_offset=vis_base_offset,
+            tile_row_offset=row0,
         )
     else:
         depth, vis = rasterize_pallas(
-            geom.setup, bins, height, width, cfg.tile_h, cfg.tile_w,
+            geom.setup, bins, local_h, width, cfg.tile_h, cfg.tile_w,
             interpret=(backend == "pallas_interpret"),
             init=init, vis_base_offset=vis_base_offset,
+            tile_row_offset=row0,
         )
     return depth, vis, bins
+
+
+def _window(height, cfg, row_window):
+    """(tile_row0, local pixel height) for an optional band window."""
+    if row_window is None:
+        return 0, height
+    row0, num_rows = row_window
+    assert height % cfg.tile_h == 0, (
+        "band rendering requires height to be a multiple of tile_h"
+    )
+    return row0, num_rows * cfg.tile_h
 
 
 def rasterize_gbuffer(
@@ -71,8 +94,14 @@ def rasterize_gbuffer(
     cfg: RasterConfig,
     init=None,
     vis_base_offset: int = 0,
+    row_window=None,
+    tiled_io: bool = False,
 ):
-    """G-buffer raster: returns (depth, vis, gbuf [GB_ROWS,H,W], bins)."""
+    """G-buffer raster: returns (depth, vis, gbuf [GB_ROWS,H,W], bins).
+
+    row_window: see `rasterize`. tiled_io: exchange framebuffers in the
+    kernel's native tile layout (raster.layout) — no image transposes."""
+    row0, local_h = _window(height, cfg, row_window)
     bins = bin_meshlets(
         geom.bbox,
         geom.inst_valid,
@@ -82,19 +111,23 @@ def rasterize_gbuffer(
         cfg.tile_w,
         cfg.pair_capacity,
         max_z=geom.max_z,
+        row0=row0,
+        num_rows=None if row_window is None else row_window[1],
     )
     backend = cfg.resolve_backend()
     if backend == "xla":
         depth, vis, gb = rasterize_xla_gbuffer(
-            geom.setup, geom.attrs, bins, height, width,
+            geom.setup, geom.attrs, bins, local_h, width,
             cfg.tile_h, cfg.tile_w,
             init=init, vis_base_offset=vis_base_offset,
+            tile_row_offset=row0, tiled_io=tiled_io,
         )
     else:
         depth, vis, gb = rasterize_pallas_gbuffer(
-            geom.setup, geom.attrs, bins, height, width,
+            geom.setup, geom.attrs, bins, local_h, width,
             cfg.tile_h, cfg.tile_w,
             interpret=(backend == "pallas_interpret"),
             init=init, vis_base_offset=vis_base_offset,
+            tile_row_offset=row0, tiled_io=tiled_io,
         )
     return depth, vis, gb, bins

@@ -39,7 +39,7 @@ class BinLists:
 
 def bin_meshlets(
     bbox, inst_valid, width, height, tile_h, tile_w, pair_capacity,
-    max_z=None,
+    max_z=None, row0=0, num_rows=None,
 ) -> BinLists:
     """bbox: [I,4] screen bounds; inst_valid: [I] bool.
 
@@ -48,21 +48,33 @@ def bin_meshlets(
     (by a 10-bit depth bucket) and pair_maxz carries the full-precision
     bound for the rasterizer's early-z skip — the sort-based stand-in for
     hardware early-Z + front-to-back draw ordering. Without it pair_maxz
-    is 2.0 (skip never fires)."""
+    is 2.0 (skip never fires).
+
+    row0/num_rows: optional tile-row window (multi-chip framebuffer
+    bands): only tiles in rows [row0, row0+num_rows) are binned, and tile
+    ids are band-local. row0 may be traced (e.g. from axis_index). The
+    per-tile pair order is identical to a full-screen binning of the same
+    tile, so band rasterization is bit-identical to the full screen's."""
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
-    n_tiles = ntx * nty
+    if num_rows is None:
+        num_rows = nty
+    n_tiles = ntx * num_rows
 
-    tx0 = jnp.clip(jnp.floor(bbox[:, 0] / tile_w).astype(jnp.int32), 0, ntx - 1)
-    ty0 = jnp.clip(jnp.floor(bbox[:, 1] / tile_h).astype(jnp.int32), 0, nty - 1)
+    tx0 = jnp.clip(jnp.floor(bbox[:, 0] / tile_w).astype(jnp.int32), 0, ntx)
+    ty0 = jnp.clip(
+        jnp.floor(bbox[:, 1] / tile_h).astype(jnp.int32) - row0, 0, num_rows
+    )
     # exclusive upper corner: a bbox touching x=tile edge exactly stays out
-    tx1 = jnp.clip(jnp.ceil(bbox[:, 2] / tile_w).astype(jnp.int32), 1, ntx)
-    ty1 = jnp.clip(jnp.ceil(bbox[:, 3] / tile_h).astype(jnp.int32), 1, nty)
+    tx1 = jnp.clip(jnp.ceil(bbox[:, 2] / tile_w).astype(jnp.int32), 0, ntx)
+    ty1 = jnp.clip(
+        jnp.ceil(bbox[:, 3] / tile_h).astype(jnp.int32) - row0, 0, num_rows
+    )
 
     empty = (bbox[:, 2] <= bbox[:, 0]) | (bbox[:, 3] <= bbox[:, 1])
     use = inst_valid & ~empty
-    span_x = jnp.where(use, tx1 - tx0, 0)
-    span_y = jnp.where(use, ty1 - ty0, 0)
+    span_x = jnp.where(use, jnp.maximum(tx1 - tx0, 0), 0)
+    span_y = jnp.where(use, jnp.maximum(ty1 - ty0, 0), 0)
     counts = span_x * span_y  # [I]
 
     offsets = jnp.cumsum(counts) - counts  # exclusive

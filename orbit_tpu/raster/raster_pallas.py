@@ -64,8 +64,8 @@ def _pair_meta(bins: BinLists, P: int):
 
 
 def _kernel(
-    meta_ref, tile_ref, maxz_ref, setup_ref, init_d_ref, init_v_ref,
-    depth_ref, vis_ref, cur_min_ref,
+    meta_ref, tile_ref, maxz_ref, rowoff_ref, setup_ref, init_d_ref,
+    init_v_ref, depth_ref, vis_ref, cur_min_ref,
     *, tile_h, tile_w, ntx, vis_base_offset,
 ):
     p = pl.program_id(0)
@@ -97,7 +97,7 @@ def _kernel(
 
     @pl.when(active)
     def _():
-        ty = (tile // ntx).astype(jnp.float32)
+        ty = (tile // ntx + rowoff_ref[0]).astype(jnp.float32)
         tx = (tile % ntx).astype(jnp.float32)
         tpx = tile_h * tile_w
         flat = jax.lax.broadcasted_iota(jnp.int32, (1, tpx), 1)
@@ -147,6 +147,7 @@ def rasterize_pallas(
     interpret: bool = False,
     init=None,
     vis_base_offset: int = 0,
+    tile_row_offset=0,
 ):
     """setup: [I, 64, 12] f32. Returns (depth [H,W] f32, vis [H,W] i32).
 
@@ -186,16 +187,18 @@ def rasterize_pallas(
         init_v = to_tiles(init[1])
 
     meta, filled_tile = _pair_meta(bins, P)
+    rowoff = jnp.full((1,), tile_row_offset, jnp.int32)
 
     fb_spec = pl.BlockSpec(
-        (_GROUP, tpx), lambda p, meta, tile, maxz: (tile[p] // _GROUP, 0)
+        (_GROUP, tpx), lambda p, meta, tile, maxz, ro: (tile[p] // _GROUP, 0)
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(P,),
         in_specs=[
             pl.BlockSpec(
-                (1, 64, 12), lambda p, meta, tile, maxz: (meta[p] >> 3, 0, 0)
+                (1, 64, 12),
+                lambda p, meta, tile, maxz, ro: (meta[p] >> 3, 0, 0),
             ),
             fb_spec,
             fb_spec,
@@ -218,7 +221,7 @@ def rasterize_pallas(
             jax.ShapeDtypeStruct((n_tiles_pad, tpx), jnp.int32),
         ],
         interpret=interpret,
-    )(meta, filled_tile, bins.pair_maxz, setup, init_d, init_v)
+    )(meta, filled_tile, bins.pair_maxz, rowoff, setup, init_d, init_v)
     pvalid = bins.pair_tile >= 0
 
     # tiles whose GROUP no pair ever visited hold garbage: restore init
@@ -233,8 +236,9 @@ def rasterize_pallas(
 
 
 def _gbuffer_kernel(
-    meta_ref, tile_ref, maxz_ref, setup_ref, attrs_ref, init_d_ref,
-    init_v_ref, init_g_ref, depth_ref, vis_ref, gb_ref, cur_min_ref,
+    meta_ref, tile_ref, maxz_ref, rowoff_ref, setup_ref, attrs_ref,
+    init_d_ref, init_v_ref, init_g_ref, depth_ref, vis_ref, gb_ref,
+    cur_min_ref,
     *, tile_h, tile_w, ntx, vis_base_offset,
 ):
     p = pl.program_id(0)
@@ -265,7 +269,7 @@ def _gbuffer_kernel(
 
     @pl.when(active)
     def _():
-        ty = (tile // ntx).astype(jnp.float32)
+        ty = (tile // ntx + rowoff_ref[0]).astype(jnp.float32)
         tx = (tile % ntx).astype(jnp.float32)
         tpx = tile_h * tile_w
         flat = jax.lax.broadcasted_iota(jnp.int32, (1, tpx), 1)
@@ -368,11 +372,20 @@ def rasterize_pallas_gbuffer(
     interpret: bool = False,
     init=None,
     vis_base_offset: int = 0,
+    tile_row_offset=0,
+    tiled_io: bool = False,
 ):
     """G-buffer rasterizer. setup: [I,64,12]; attrs: [I, AC_ROWS, 64].
 
     Returns (depth [H,W], vis [H,W], gbuf [GB_ROWS, H, W]).
     init: optional (depth, vis, gbuf) composited under this pass.
+
+    tiled_io: exchange framebuffers in the kernel's native tile layout —
+    depth/vis [n_tiles_pad, tile_px], gbuf [n_tiles_pad*GB_ROWS, tile_px]
+    (G-buffer rows interleaved per tile) — skipping the image<->tile
+    transposes entirely. The fused deferred-shade kernel and the late
+    occlusion pass consume this layout directly; convert with
+    raster.layout helpers only where an image is actually needed.
     """
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
@@ -405,6 +418,8 @@ def rasterize_pallas_gbuffer(
         init_d = jnp.zeros((n_tiles_pad, tpx), jnp.float32)
         init_v = jnp.zeros((n_tiles_pad, tpx), jnp.int32)
         init_g = jnp.zeros((n_tiles_pad * GB_ROWS, tpx), jnp.float32)
+    elif tiled_io:
+        init_d, init_v, init_g = init
     else:
         init_d = to_tiles(init[0])
         init_v = to_tiles(init[1])
@@ -413,24 +428,26 @@ def rasterize_pallas_gbuffer(
         init_g = g.transpose(1, 0, 2).reshape(n_tiles_pad * GB_ROWS, tpx)
 
     meta, filled_tile = _pair_meta(bins, P)
+    rowoff = jnp.full((1,), tile_row_offset, jnp.int32)
 
     fb_spec = pl.BlockSpec(
-        (_GROUP, tpx), lambda p, meta, tile, maxz: (tile[p] // _GROUP, 0)
+        (_GROUP, tpx), lambda p, meta, tile, maxz, ro: (tile[p] // _GROUP, 0)
     )
     gb_spec = pl.BlockSpec(
         (_GROUP * GB_ROWS, tpx),
-        lambda p, meta, tile, maxz: (tile[p] // _GROUP, 0),
+        lambda p, meta, tile, maxz, ro: (tile[p] // _GROUP, 0),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(P,),
         in_specs=[
             pl.BlockSpec(
-                (1, 64, 12), lambda p, meta, tile, maxz: (meta[p] >> 3, 0, 0)
+                (1, 64, 12),
+                lambda p, meta, tile, maxz, ro: (meta[p] >> 3, 0, 0),
             ),
             pl.BlockSpec(
                 (1, AC_ROWS, 64),
-                lambda p, meta, tile, maxz: (meta[p] >> 3, 0, 0),
+                lambda p, meta, tile, maxz, ro: (meta[p] >> 3, 0, 0),
             ),
             fb_spec,
             fb_spec,
@@ -455,7 +472,10 @@ def rasterize_pallas_gbuffer(
             jax.ShapeDtypeStruct((n_tiles_pad * GB_ROWS, tpx), jnp.float32),
         ],
         interpret=interpret,
-    )(meta, filled_tile, bins.pair_maxz, setup, attrs, init_d, init_v, init_g)
+    )(
+        meta, filled_tile, bins.pair_maxz, rowoff, setup, attrs,
+        init_d, init_v, init_g,
+    )
     pvalid = bins.pair_tile >= 0
 
     group_ids = jnp.arange(n_tiles_pad, dtype=jnp.int32) // _GROUP
@@ -468,6 +488,8 @@ def rasterize_pallas_gbuffer(
     occ_g = jnp.repeat(occ, GB_ROWS, axis=0)
     gb_t = jnp.where(occ_g, gb_t, init_g)
 
+    if tiled_io:
+        return depth_t, vis_t, gb_t
     gb_tiles = gb_t.reshape(n_tiles_pad, GB_ROWS, tpx).transpose(1, 0, 2)
     return (
         from_tiles(depth_t),

@@ -22,13 +22,15 @@ from orbit_tpu.raster.kernel_common import (
 
 def rasterize_xla(
     setup, bins: BinLists, height, width, tile_h, tile_w,
-    init=None, vis_base_offset: int = 0,
+    init=None, vis_base_offset: int = 0, tile_row_offset=0,
 ):
     """setup: [I, 64, 12]; returns (depth [H,W] f32, vis [H,W] i32).
 
     init: optional (depth [H,W], vis [H,W]) to composite over (late
     occlusion pass). vis_base_offset shifts instance slots so two passes
-    share one id space.
+    share one id space. tile_row_offset (may be traced): this image is a
+    band starting at that global tile row — pixel centers are computed in
+    global coordinates so band raster is bit-identical to full-screen.
     """
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
@@ -54,7 +56,9 @@ def rasterize_xla(
     def do_tile(t):
         start = bins.tile_start[t]
         count = bins.tile_count[t]
-        xs, ys = tile_pixel_centers(t // ntx, t % ntx, tile_h, tile_w)
+        xs, ys = tile_pixel_centers(
+            t // ntx + tile_row_offset, t % ntx, tile_h, tile_w
+        )
 
         def body(k, carry):
             depth, vis, cur_min = carry
@@ -100,17 +104,23 @@ def rasterize_xla(
 
 def rasterize_xla_gbuffer(
     setup, attrs, bins: BinLists, height, width, tile_h, tile_w,
-    init=None, vis_base_offset: int = 0,
+    init=None, vis_base_offset: int = 0, tile_row_offset=0,
+    tiled_io: bool = False,
 ):
     """G-buffer rasterizer (XLA fallback / differential reference).
 
     setup: [I,64,12]; attrs: [I, AC_ROWS, 64].
     Returns (depth [H,W], vis [H,W], gbuf [GB_ROWS, H, W]).
     init: optional (depth, vis, gbuf) to composite over.
+    tiled_io: exchange buffers in the Pallas kernel's tile layout (see
+    raster_pallas.rasterize_pallas_gbuffer / raster.layout).
     """
+    from orbit_tpu.raster.layout import GROUP
+
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
     n_tiles = ntx * nty
+    n_tiles_pad = -(-n_tiles // GROUP) * GROUP
     tpx = tile_h * tile_w
     setup_flat = setup.reshape(setup.shape[0], -1)
     attrs_flat = attrs.reshape(attrs.shape[0], -1)
@@ -128,7 +138,16 @@ def rasterize_xla_gbuffer(
         )
         return x.transpose(perm).reshape(lead + (n_tiles, tpx))
 
-    if init is not None:
+    if init is not None and tiled_io:
+        # tiled init: depth/vis [n_tiles_pad, tpx], gb [n_tiles_pad*GB, tpx]
+        init_d = init[0][:n_tiles]
+        init_v = init[1][:n_tiles]
+        init_g = (
+            init[2]
+            .reshape(n_tiles_pad, GB_ROWS, tpx)[:n_tiles]
+            .transpose(1, 0, 2)
+        )
+    elif init is not None:
         init_d = to_tiles(init[0])
         init_v = to_tiles(init[1])
         init_g = to_tiles(init[2])
@@ -136,7 +155,9 @@ def rasterize_xla_gbuffer(
     def do_tile(t):
         start = bins.tile_start[t]
         count = bins.tile_count[t]
-        xs, ys = tile_pixel_centers(t // ntx, t % ntx, tile_h, tile_w)
+        xs, ys = tile_pixel_centers(
+            t // ntx + tile_row_offset, t % ntx, tile_h, tile_w
+        )
 
         def body(k, carry):
             depth, vis, gb, cur_min = carry
@@ -176,6 +197,15 @@ def rasterize_xla_gbuffer(
     depth_t, vis_t, gb_t = jax.vmap(do_tile)(
         jnp.arange(n_tiles, dtype=jnp.int32)
     )
+
+    if tiled_io:
+        pad = n_tiles_pad - n_tiles
+        d_t = jnp.pad(depth_t.reshape(n_tiles, tpx), ((0, pad), (0, 0)))
+        v_t = jnp.pad(vis_t.reshape(n_tiles, tpx), ((0, pad), (0, 0)))
+        g_t = jnp.pad(
+            gb_t.reshape(n_tiles, GB_ROWS, tpx), ((0, pad), (0, 0), (0, 0))
+        ).reshape(n_tiles_pad * GB_ROWS, tpx)
+        return d_t, v_t, g_t
 
     def from_tiles(t, lead=()):
         x = t.reshape(lead + (nty, ntx, tile_h, tile_w))

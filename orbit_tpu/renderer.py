@@ -80,11 +80,20 @@ def static_instance_list(store, scene_meta, capacity):
     )
 
 
-def camera_ray_dirs(view: ViewParams, width: int, height: int):
+def camera_ray_dirs(
+    view: ViewParams, width: int, height: int, row0=0, full_height=None
+):
     """World-space ray direction per pixel (for the skybox; skybox.vert's
-    far-plane cube re-expressed as a direct unprojection)."""
+    far-plane cube re-expressed as a direct unprojection).
+
+    row0/full_height: generate rays for a band of `height` rows starting
+    at global pixel row row0 of a full_height-tall image."""
+    fh = height if full_height is None else full_height
     px = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
-    py = 1.0 - (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0
+    py = 1.0 - (
+        (jnp.arange(height, dtype=jnp.int32) + row0).astype(jnp.float32)
+        + 0.5
+    ) / fh * 2.0
     xx, yy = jnp.meshgrid(px, py, indexing="xy")
     # view-space direction through each pixel
     dir_view = jnp.stack(

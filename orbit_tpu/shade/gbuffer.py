@@ -127,9 +127,16 @@ def surface_from_gbuffer(
     inv_view_proj,
     texture_filter: str = "bilinear",
     ssao: Optional[jax.Array] = None,
+    row_offset_px=0,
+    full_size=None,  # (full_H, full_W) when the inputs are a band
 ):
     """Returns (Surface, GBuffer) — GBuffer fields populated for the
-    downstream consumers (shadows, clusters, debug modes)."""
+    downstream consumers (shadows, clusters, debug modes).
+
+    row_offset_px/full_size: when the G-buffer is a framebuffer band
+    (multi-chip 'fb' sharding), pixel/NDC coordinates are computed in
+    full-image space so the reconstruction is bit-identical to the
+    full-screen path."""
     H, W = depth.shape
     n = H * W
     g = gb.reshape(gb.shape[0], -1)
@@ -189,10 +196,13 @@ def surface_from_gbuffer(
         ao = jnp.minimum(ao, ssao)
 
     # world position from depth
+    full_h, full_w = full_size if full_size is not None else (H, W)
     px = (jnp.arange(n, dtype=jnp.int32) % W).astype(jnp.float32) + 0.5
-    py = (jnp.arange(n, dtype=jnp.int32) // W).astype(jnp.float32) + 0.5
-    ndc_x = px / W * 2.0 - 1.0
-    ndc_y = (1.0 - py / H) * 2.0 - 1.0
+    py = (
+        jnp.arange(n, dtype=jnp.int32) // W + row_offset_px
+    ).astype(jnp.float32) + 0.5
+    ndc_x = px / full_w * 2.0 - 1.0
+    ndc_y = (1.0 - py / full_h) * 2.0 - 1.0
     ndc = jnp.stack([ndc_x, ndc_y, depthf, jnp.ones_like(depthf)], axis=-1)
     wp = (ndc[:, :, None] * inv_view_proj.T[None]).sum(1)
     world_pos = wp[:, :3] / jnp.where(
