@@ -1,0 +1,574 @@
+"""Fused deferred shading: one Pallas kernel from G-buffer to sRGB u8.
+
+The round-1 shade stage was ~700 small XLA ops over 2M pixels — every
+elementwise op a full HBM round-trip. This module collapses the entire
+deferred shade (combined-texture apply, normal mapping, world-position
+reconstruction, SH9 irradiance + analytic env-BRDF IBL, Cook-Torrance
+direct lights, sky composite, ACES tonemap, sRGB pack) into ONE Pallas
+kernel over framebuffer tile blocks, consuming the rasterizer's native
+tile layout (no image transposes anywhere on the fused path).
+
+The only memory-indirect work — the combined-texture texel and the
+prefiltered-environment texel — stays in XLA as two gathers feeding the
+kernel (TPU random gathers cost ~5 ns/row regardless of how they are
+issued; see docs/ARCHITECTURE.md).
+
+Parity: forward.frag:268-567 (material eval + light loop) +
+post_process.frag (ACES) re-expressed tile-wise. The XLA twin
+(`backend="xla"`) runs the identical math for CPU tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from orbit_tpu.raster.kernel_common import (
+    GB_BASE,
+    GB_CTEX,
+    GB_DUDX,
+    GB_DUDY,
+    GB_DVDX,
+    GB_DVDY,
+    GB_EMISSIVE,
+    GB_METALLIC,
+    GB_NRM,
+    GB_ROUGHNESS,
+    GB_ROWS,
+    GB_TAN,
+    GB_U,
+    GB_V,
+)
+from orbit_tpu.scene import LIGHT_DIRECTIONAL, LIGHT_POINT, LIGHT_SKY
+from orbit_tpu.shade.gbuffer import _ctex_addr, _mip_offset_closed_form
+from orbit_tpu.shade.ibl import spec_mip_offsets
+from orbit_tpu.shade.texture import size_from_atlas
+from orbit_tpu.assets.types import num_mips
+
+_GROUP = 8  # tiles per kernel block
+
+# scalar-parameter layout (f32 SMEM vector)
+_P_IVP = 0  # inv(view_proj) row-major [16]
+_P_EYE = 16  # [3]
+_P_EXPOSURE = 19
+_P_SH = 20  # SH9 irradiance [9*3] row-major
+_P_LIGHT = 47  # per light: dir[3] color[3] pos[3] intensity inner outer
+_P_PER_LIGHT = 12
+_LUM_CUTOFF = 0.25  # pbr.shade default luminance cutoff
+
+_PI = float(np.pi)
+
+
+def _rnorm3(x, y, z, eps=1e-20):
+    inv = 1.0 / jnp.sqrt(jnp.maximum(x * x + y * y + z * z, eps))
+    return x * inv, y * inv, z * inv
+
+
+def _srgb2lin(c):
+    return jnp.where(c < 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4)
+
+
+def _lin2srgb(c):
+    c = jnp.maximum(c, 0.0)
+    return jnp.where(
+        c < 0.0031308, c * 12.92, 1.055 * c ** (1.0 / 2.4) - 0.055
+    )
+
+
+def _byte(w, b):
+    # int32 intermediate: Mosaic has no u32->f32 cast
+    v = ((w >> (8 * b)) & jnp.uint32(0xFF)).astype(jnp.int32)
+    return v.astype(jnp.float32) * (1.0 / 255.0)
+
+
+def _shade_core(P, light_kinds, gbrow, depth, words, spec, x, y, W, H):
+    """The whole deferred shade on component arrays of one pixel block.
+
+    P: scalar accessor (SMEM ref or traced array indexing); gbrow(r) ->
+    G-buffer channel array; words: 4 u32 arrays (combined texel);
+    spec: 3 f32 arrays (prefiltered-env sample along reflection/camera
+    rays); x/y: global pixel centers. Returns (r, g, b) HDR + background
+    already composited (valid = depth > 0).
+    """
+    valid = depth > 0.0
+
+    # ---- material from G-buffer constants x combined texel
+    layer = jnp.round(gbrow(GB_CTEX)).astype(jnp.int32)
+    has = layer >= 0
+    tex = [_byte(words[k], b) for k in range(4) for b in range(4)]
+
+    def mix(base_val, tex_val):
+        return jnp.where(has, base_val * tex_val, base_val)
+
+    base_r = mix(gbrow(GB_BASE + 0), _srgb2lin(tex[0]))
+    base_g = mix(gbrow(GB_BASE + 1), _srgb2lin(tex[1]))
+    base_b = mix(gbrow(GB_BASE + 2), _srgb2lin(tex[2]))
+    metallic = mix(gbrow(GB_METALLIC), tex[6])
+    roughness = mix(gbrow(GB_ROUGHNESS), tex[7])
+    em_r = mix(gbrow(GB_EMISSIVE + 0), _srgb2lin(tex[8]))
+    em_g = mix(gbrow(GB_EMISSIVE + 1), _srgb2lin(tex[9]))
+    em_b = mix(gbrow(GB_EMISSIVE + 2), _srgb2lin(tex[10]))
+    ao = jnp.where(has, tex[11], 1.0)
+
+    # ---- normal mapping (gbuffer.surface_from_gbuffer parity)
+    ngx, ngy, ngz = _rnorm3(
+        gbrow(GB_NRM + 0), gbrow(GB_NRM + 1), gbrow(GB_NRM + 2)
+    )
+    ttx, tty, ttz = _rnorm3(
+        gbrow(GB_TAN + 0), gbrow(GB_TAN + 1), gbrow(GB_TAN + 2)
+    )
+    tw = jnp.sign(gbrow(GB_TAN + 3) + 1e-20)
+    bx = (ngy * ttz - ngz * tty) * tw
+    by = (ngz * ttx - ngx * ttz) * tw
+    bz = (ngx * tty - ngy * ttx) * tw
+    nt_x = tex[4] * 2.0 - 1.0
+    nt_y = tex[5] * 2.0 - 1.0
+    nt_z = jnp.sqrt(jnp.abs(1.0 - nt_x * nt_x - nt_y * nt_y))
+    nmx, nmy, nmz = _rnorm3(
+        ttx * nt_x + bx * nt_y + ngx * nt_z,
+        tty * nt_x + by * nt_y + ngy * nt_z,
+        ttz * nt_x + bz * nt_y + ngz * nt_z,
+    )
+    thr = 1.5 / 127.0
+    is_flat = (jnp.abs(nt_x) < thr) & (jnp.abs(nt_y) < thr)
+    use_map = has & ~is_flat
+    nx = jnp.where(use_map, nmx, ngx)
+    ny = jnp.where(use_map, nmy, ngy)
+    nz = jnp.where(use_map, nmz, ngz)
+
+    # ---- world position from depth (reverse-Z NDC unproject)
+    ndc_x = x / W * 2.0 - 1.0
+    ndc_y = (1.0 - y / H) * 2.0 - 1.0
+
+    def ivp_row(j):
+        return (
+            P(_P_IVP + 4 * j + 0) * ndc_x
+            + P(_P_IVP + 4 * j + 1) * ndc_y
+            + P(_P_IVP + 4 * j + 2) * depth
+            + P(_P_IVP + 4 * j + 3)
+        )
+
+    wx, wy, wz, ww = ivp_row(0), ivp_row(1), ivp_row(2), ivp_row(3)
+    ww = jnp.where(jnp.abs(ww) < 1e-20, 1.0, ww)
+    wx, wy, wz = wx / ww, wy / ww, wz / ww
+
+    vx, vy, vz = _rnorm3(P(_P_EYE) - wx, P(_P_EYE + 1) - wy, P(_P_EYE + 2) - wz)
+
+    # ---- light accumulation (emissive start, forward.frag:368-487)
+    sum_r, sum_g, sum_b = em_r, em_g, em_b
+    n_dot_v = jnp.maximum(nx * vx + ny * vy + nz * vz, 0.0)
+    f0r = 0.04 * (1.0 - metallic) + base_r * metallic
+    f0g = 0.04 * (1.0 - metallic) + base_g * metallic
+    f0b = 0.04 * (1.0 - metallic) + base_b * metallic
+
+    def calculate_light(lx, ly, lz, cr, cg, cb, att):
+        hx, hy, hz = vx + lx, vy + ly, vz + lz
+        hinv = 1.0 / jnp.maximum(
+            jnp.sqrt(hx * hx + hy * hy + hz * hz), 1e-12
+        )
+        hx, hy, hz = hx * hinv, hy * hinv, hz * hinv
+        ndv = jnp.maximum(nx * vx + ny * vy + nz * vz, 1e-5)
+        ndl = jnp.maximum(nx * lx + ny * ly + nz * lz, 1e-5)
+        ndh = jnp.maximum(nx * hx + ny * hy + nz * hz, 0.0)
+        hdv = jnp.maximum(hx * vx + hy * vy + hz * vz, 0.0)
+        a = roughness * roughness
+        a2 = a * a
+        den = ndh * ndh * (a2 - 1.0) + 1.0
+        d = a2 / jnp.maximum(_PI * den * den, 1e-5)
+        rr = roughness + 1.0
+        k = rr * rr / 8.0
+        g1 = ndv / (ndv * (1.0 - k) + k)
+        g2 = ndl / (ndl * (1.0 - k) + k)
+        g = g1 * g2
+        fc = (1.0 - hdv) ** 5
+        fr = f0r + (1.0 - f0r) * fc
+        fg = f0g + (1.0 - f0g) * fc
+        fb = f0b + (1.0 - f0b) * fc
+        dg = d * g / (4.0 * ndv * ndl)
+        scale = att * ndl
+        one_m = 1.0 - metallic
+        out_r = ((1.0 - fr) * one_m * base_r / _PI + dg * fr) * cr * scale
+        out_g = ((1.0 - fg) * one_m * base_g / _PI + dg * fg) * cg * scale
+        out_b = ((1.0 - fb) * one_m * base_b / _PI + dg * fb) * cb * scale
+        return out_r, out_g, out_b
+
+    for li, kind in enumerate(light_kinds):
+        o = _P_LIGHT + li * _P_PER_LIGHT
+        cr, cg, cb = P(o + 3), P(o + 4), P(o + 5)
+        if kind == LIGHT_SKY:
+            # IBL: SH9 irradiance (pure math) + analytic env BRDF +
+            # pre-gathered prefiltered specular (pbr.shade sky())
+            fc = jnp.clip(1.0 - n_dot_v, 0.0, 1.0) ** 5
+            fmax = jnp.maximum(1.0 - roughness, f0r)
+            ksr = f0r + (fmax - f0r) * fc
+            fmax = jnp.maximum(1.0 - roughness, f0g)
+            ksg = f0g + (fmax - f0g) * fc
+            fmax = jnp.maximum(1.0 - roughness, f0b)
+            ksb = f0b + (fmax - f0b) * fc
+            one_m = 1.0 - metallic
+            kdr, kdg, kdb = (
+                (1.0 - ksr) * one_m,
+                (1.0 - ksg) * one_m,
+                (1.0 - ksb) * one_m,
+            )
+            # SH basis (ibl._sh_basis)
+            sb = [
+                0.282095 * jnp.ones_like(nx),
+                0.488603 * ny,
+                0.488603 * nz,
+                0.488603 * nx,
+                1.092548 * nx * ny,
+                1.092548 * ny * nz,
+                0.315392 * (3.0 * nz * nz - 1.0),
+                1.092548 * nx * nz,
+                0.546274 * (nx * nx - ny * ny),
+            ]
+            irr = [None] * 3
+            for c in range(3):
+                acc = sb[0] * P(_P_SH + c)
+                for kk in range(1, 9):
+                    acc = acc + sb[kk] * P(_P_SH + 3 * kk + c)
+                irr[c] = jnp.maximum(acc, 0.0)
+            # analytic split-sum env BRDF (ibl.env_brdf_approx)
+            ra = -1.0 * roughness + 1.0
+            rb = -0.0275 * roughness + 0.0425
+            rcx = -0.572 * roughness + 1.04
+            rdw = 0.022 * roughness - 0.04
+            a004 = (
+                jnp.minimum(ra * ra, jnp.exp2(-9.28 * n_dot_v)) * ra + rb
+            )
+            eb_a = -1.04 * a004 + rcx
+            eb_b = 1.04 * a004 + rdw
+            c_r = (kdr * irr[0] * base_r + spec[0] * (ksr * eb_a + eb_b))
+            c_g = (kdg * irr[1] * base_g + spec[1] * (ksg * eb_a + eb_b))
+            c_b = (kdb * irr[2] * base_b + spec[2] * (ksb * eb_a + eb_b))
+            sum_r = sum_r + c_r * cr * ao
+            sum_g = sum_g + c_g * cg * ao
+            sum_b = sum_b + c_b * cb * ao
+        elif kind == LIGHT_DIRECTIONAL:
+            lr, lg, lb = calculate_light(
+                P(o), P(o + 1), P(o + 2), cr, cg, cb,
+                jnp.ones_like(n_dot_v),
+            )
+            sum_r, sum_g, sum_b = sum_r + lr, sum_g + lg, sum_b + lb
+        else:  # LIGHT_POINT
+            dx, dy, dz = P(o + 6) - wx, P(o + 7) - wy, P(o + 8) - wz
+            dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+            dinv = 1.0 / jnp.maximum(dist, 1e-12)
+            lx, ly, lz = dx * dinv, dy * dinv, dz * dinv
+            dist = jnp.maximum(dist, P(o + 10))
+            d2 = dist * dist
+            outer = P(o + 11)
+            att = jnp.maximum(
+                P(o + 9) / d2 - _LUM_CUTOFF * d2 / (outer * outer), 0.0
+            )
+            lr, lg, lb = calculate_light(lx, ly, lz, cr, cg, cb, att)
+            sum_r, sum_g, sum_b = sum_r + lr, sum_g + lg, sum_b + lb
+
+    # sky background composite: the spec input already carries the
+    # prefiltered-env sample along the camera ray for invalid pixels
+    hdr_r = jnp.where(valid, sum_r, spec[0])
+    hdr_g = jnp.where(valid, sum_g, spec[1])
+    hdr_b = jnp.where(valid, sum_b, spec[2])
+    return hdr_r, hdr_g, hdr_b
+
+
+def _tonemap_pack(r, g, b, exposure):
+    """ACES(Hill) + sRGB encode + RGBA8 pack (math.color parity)."""
+    r, g, b = r * exposure, g * exposure, b * exposure
+    v0 = 0.59719 * r + 0.35458 * g + 0.04823 * b
+    v1 = 0.07600 * r + 0.90834 * g + 0.01566 * b
+    v2 = 0.02840 * r + 0.13383 * g + 0.83777 * b
+
+    def fit(v):
+        a = v * (v + 0.0245786) - 0.000090537
+        d = v * (0.983729 * v + 0.4329510) + 0.238081
+        return a / d
+
+    f0_, f1, f2 = fit(v0), fit(v1), fit(v2)
+    o0 = 1.60475 * f0_ - 0.53108 * f1 - 0.07367 * f2
+    o1 = -0.10208 * f0_ + 1.10813 * f1 - 0.00605 * f2
+    o2 = -0.00327 * f0_ - 0.07276 * f1 + 1.07602 * f2
+    s0 = _lin2srgb(jnp.clip(o0, 0.0, 1.0))
+    s1 = _lin2srgb(jnp.clip(o1, 0.0, 1.0))
+    s2 = _lin2srgb(jnp.clip(o2, 0.0, 1.0))
+    u0 = jnp.clip(s0 * 255.0 + 0.5, 0.0, 255.0).astype(jnp.int32)
+    u1 = jnp.clip(s1 * 255.0 + 0.5, 0.0, 255.0).astype(jnp.int32)
+    u2 = jnp.clip(s2 * 255.0 + 0.5, 0.0, 255.0).astype(jnp.int32)
+    packed_i = u0 | (u1 << 8) | (u2 << 16) | jnp.int32(-16777216)
+    return jax.lax.bitcast_convert_type(packed_i, jnp.uint32)
+
+
+def _pack_params(scene, env, view, exposure, n_lights):
+    ivp = jnp.linalg.inv(view.view_proj)
+    parts = [
+        ivp.reshape(-1),
+        view.eye,
+        jnp.full((1,), exposure, jnp.float32),
+        env.sh_irradiance.reshape(-1),
+    ]
+    for li in range(n_lights):
+        parts += [
+            scene.light_dir[li],
+            scene.light_color[li],
+            scene.light_pos[li],
+            jnp.stack(
+                [
+                    scene.light_intensity[li],
+                    scene.light_inner_radius[li],
+                    scene.light_outer_radius[li],
+                ]
+            ),
+        ]
+    return jnp.concatenate([jnp.asarray(p, jnp.float32) for p in parts])
+
+
+def _prepass(assets, env, view, gb_rows, depth_t, ntx, tile_h, tile_w, H, W):
+    """XLA pre-gather: ONE combined-texture texel + ONE prefiltered-env
+    texel per pixel (nearest filtering — the bench path). Returns
+    (words [4, ntp, tpx] f32-carried texels, spec [4, ntp, tpx])."""
+    ntp, tpx = depth_t.shape
+
+    def row(r):
+        return gb_rows[r]
+
+    valid = depth_t > 0.0
+    # --- combined-texture address (gbuffer.sample_ctex mode="nearest")
+    tex_size = size_from_atlas(assets.ctex_data.shape[1])
+    t4 = assets.ctex_data.shape[1]
+    ts = jnp.float32(tex_size)
+    fx = (row(GB_DUDX) ** 2 + row(GB_DVDX) ** 2) * (ts * ts)
+    fy = (row(GB_DUDY) ** 2 + row(GB_DVDY) ** 2) * (ts * ts)
+    lod = 0.5 * jnp.log2(jnp.maximum(jnp.maximum(fx, fy), 1e-12))
+    n = num_mips(tex_size)
+    k = jnp.round(jnp.clip(lod, 0.0, n - 1.0)).astype(jnp.int32)
+    layer = jnp.round(row(GB_CTEX)).astype(jnp.int32)
+    safe_layer = jnp.maximum(layer, 0)
+    _, size = _mip_offset_closed_form(tex_size, k)
+    fsize = size.astype(jnp.float32)
+    tx_ = (row(GB_U) * fsize).astype(jnp.int32)
+    ty_ = (row(GB_V) * fsize).astype(jnp.int32)
+    addr = _ctex_addr(safe_layer, t4, tex_size, k, tx_, ty_)
+    words = assets.ctex_data.reshape(-1, 4)[addr]  # [ntp, tpx, 4]
+
+    # --- shading normal (for the reflection ray; parity w/ gbuffer)
+    w1 = jax.lax.bitcast_convert_type(words[..., 1], jnp.uint32)
+    nt_x = _byte(w1, 0) * 2.0 - 1.0
+    nt_y = _byte(w1, 1) * 2.0 - 1.0
+    nt_z = jnp.sqrt(jnp.abs(1.0 - nt_x * nt_x - nt_y * nt_y))
+    ngx, ngy, ngz = _rnorm3(row(GB_NRM), row(GB_NRM + 1), row(GB_NRM + 2))
+    ttx, tty, ttz = _rnorm3(row(GB_TAN), row(GB_TAN + 1), row(GB_TAN + 2))
+    tw = jnp.sign(row(GB_TAN + 3) + 1e-20)
+    bx = (ngy * ttz - ngz * tty) * tw
+    by = (ngz * ttx - ngx * ttz) * tw
+    bz = (ngx * tty - ngy * ttx) * tw
+    nmx, nmy, nmz = _rnorm3(
+        ttx * nt_x + bx * nt_y + ngx * nt_z,
+        tty * nt_x + by * nt_y + ngy * nt_z,
+        ttz * nt_x + bz * nt_y + ngz * nt_z,
+    )
+    thr = 1.5 / 127.0
+    has = layer >= 0
+    use_map = has & (~((jnp.abs(nt_x) < thr) & (jnp.abs(nt_y) < thr)))
+    nx = jnp.where(use_map, nmx, ngx)
+    ny = jnp.where(use_map, nmy, ngy)
+    nz = jnp.where(use_map, nmz, ngz)
+
+    # --- reflection / camera ray, then env texel (ibl nearest parity)
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (ntp, tpx), 0)
+    p_idx = jax.lax.broadcasted_iota(jnp.int32, (ntp, tpx), 1)
+    ty_t = t_idx // ntx
+    tx_t = t_idx % ntx
+    x = (tx_t * tile_w + p_idx % tile_w).astype(jnp.float32) + 0.5
+    y = (ty_t * tile_h + p_idx // tile_w).astype(jnp.float32) + 0.5
+
+    ivp = jnp.linalg.inv(view.view_proj)
+    ndc_x = x / W * 2.0 - 1.0
+    ndc_y = (1.0 - y / H) * 2.0 - 1.0
+
+    def ivp_row(j):
+        return (
+            ivp[j, 0] * ndc_x
+            + ivp[j, 1] * ndc_y
+            + ivp[j, 2] * depth_t
+            + ivp[j, 3]
+        )
+
+    ww = ivp_row(3)
+    ww = jnp.where(jnp.abs(ww) < 1e-20, 1.0, ww)
+    wx, wy, wz = ivp_row(0) / ww, ivp_row(1) / ww, ivp_row(2) / ww
+    vx, vy, vz = _rnorm3(view.eye[0] - wx, view.eye[1] - wy, view.eye[2] - wz)
+    ndv2 = 2.0 * (nx * vx + ny * vy + nz * vz)
+    rx, ry, rz = ndv2 * nx - vx, ndv2 * ny - vy, ndv2 * nz - vz
+
+    # camera rays for the background (renderer.camera_ray_dirs parity)
+    dvx = ndc_x / view.proj[0, 0]
+    dvy = ndc_y / view.proj[1, 1]
+    r3 = view.view[:3, :3]
+    bgx = dvx * r3[0, 0] + dvy * r3[1, 0] - r3[2, 0]
+    bgy = dvx * r3[0, 1] + dvy * r3[1, 1] - r3[2, 1]
+    bgz = dvx * r3[0, 2] + dvy * r3[1, 2] - r3[2, 2]
+
+    dx = jnp.where(valid, rx, bgx)
+    dy = jnp.where(valid, ry, bgy)
+    dz = jnp.where(valid, rz, bgz)
+    rough = jnp.where(
+        valid,
+        jnp.where(has, row(GB_ROUGHNESS) * _byte(w1, 3), row(GB_ROUGHNESS)),
+        0.0,
+    )
+
+    # ibl.sample_specular mode="nearest"
+    offs = spec_mip_offsets(env.spec_size, env.spec_mips)
+    lodr = jnp.clip(rough, 0.0, 1.0) * (env.spec_mips - 1)
+    ks = jnp.round(lodr).astype(jnp.int32)
+    sizes = jnp.asarray(
+        [env.spec_size >> m for m in range(env.spec_mips)], jnp.int32
+    )
+    res = sizes[ks]
+    off = jnp.asarray(offs[:-1])[ks]
+    dirs = jnp.stack([dx, dy, dz], axis=-1)
+    from orbit_tpu.shade.ibl import dir_to_face_uv
+
+    face, u, v = dir_to_face_uv(dirs)
+    fres = res.astype(jnp.float32)
+    sx = jnp.clip((u * fres).astype(jnp.int32), 0, res - 1)
+    sy = jnp.clip((v * fres).astype(jnp.int32), 0, res - 1)
+    t_env = env.spec_data.shape[1]
+    saddr = face * t_env + off + sy * res + sx
+    spec = env.spec_data.reshape(-1, env.spec_data.shape[-1])[saddr]
+
+    words_r = jnp.moveaxis(words, -1, 0)  # [4, ntp, tpx]
+    spec_r = jnp.moveaxis(spec, -1, 0)  # [4, ntp, tpx]
+    return words_r, spec_r
+
+
+def _kernel(
+    params_ref, gb_ref, depth_ref, words_ref, spec_ref, out_ref,
+    *, ntx, tile_h, tile_w, W, H, light_kinds,
+):
+    g = pl.program_id(0)
+    tpx = tile_h * tile_w
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (_GROUP, tpx), 0)
+    p_idx = jax.lax.broadcasted_iota(jnp.int32, (_GROUP, tpx), 1)
+    t = g * _GROUP + s_idx
+    x = ((t % ntx) * tile_w + p_idx % tile_w).astype(jnp.float32) + 0.5
+    y = ((t // ntx) * tile_h + p_idx // tile_w).astype(jnp.float32) + 0.5
+
+    def P(i):
+        return params_ref[i]
+
+    def gbrow(r):
+        return gb_ref[r]
+
+    words = [
+        jax.lax.bitcast_convert_type(words_ref[k], jnp.uint32)
+        for k in range(4)
+    ]
+    spec = [spec_ref[k] for k in range(3)]
+    r, g_, b = _shade_core(
+        P, light_kinds, gbrow, depth_ref[...], words, spec, x, y, W, H
+    )
+    packed = _tonemap_pack(r, g_, b, P(_P_EXPOSURE))
+    out_ref[...] = jax.lax.bitcast_convert_type(packed, jnp.int32)
+
+
+def shade_deferred_tiled(
+    assets,
+    scene,
+    env,
+    view,
+    gb_t,  # [ntp * GB_ROWS, tpx] interleaved tile layout (raster output)
+    depth_t,  # [ntp, tpx]
+    *,
+    height: int,
+    width: int,
+    tile_h: int,
+    tile_w: int,
+    light_kinds,  # static tuple of LIGHT_* ints
+    exposure: float = 1.0,
+    backend: str = "pallas",
+    interpret: bool = False,
+):
+    """Fused deferred shade + post. Returns packed RGBA8 [ntp, tpx] u32."""
+    ntp, tpx = depth_t.shape
+    ntx = -(-width // tile_w)
+    light_kinds = tuple(int(k) for k in light_kinds)
+
+    from orbit_tpu.raster.layout import gbuf_tiles_to_rows
+
+    gb_rows = gbuf_tiles_to_rows(gb_t, GB_ROWS)  # [GB, ntp, tpx]
+    words_r, spec_r = _prepass(
+        assets, env, view, gb_rows, depth_t, ntx, tile_h, tile_w,
+        height, width,
+    )
+    params = _pack_params(scene, env, view, exposure, len(light_kinds))
+
+    if backend == "xla":
+        t_idx = jax.lax.broadcasted_iota(jnp.int32, (ntp, tpx), 0)
+        p_idx = jax.lax.broadcasted_iota(jnp.int32, (ntp, tpx), 1)
+        x = ((t_idx % ntx) * tile_w + p_idx % tile_w).astype(
+            jnp.float32
+        ) + 0.5
+        y = ((t_idx // ntx) * tile_h + p_idx // tile_w).astype(
+            jnp.float32
+        ) + 0.5
+        words = [
+            jax.lax.bitcast_convert_type(words_r[k], jnp.uint32)
+            for k in range(4)
+        ]
+        spec = [spec_r[k] for k in range(3)]
+        r, g, b = _shade_core(
+            lambda i: params[i], light_kinds,
+            lambda rr: gb_rows[rr], depth_t, words, spec, x, y,
+            width, height,
+        )
+        return _tonemap_pack(r, g, b, params[_P_EXPOSURE])
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel,
+            ntx=ntx,
+            tile_h=tile_h,
+            tile_w=tile_w,
+            W=width,
+            H=height,
+            light_kinds=light_kinds,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(ntp // _GROUP,),
+            in_specs=[
+                pl.BlockSpec(
+                    (GB_ROWS, _GROUP, tpx), lambda g, p: (0, g, 0)
+                ),
+                pl.BlockSpec((_GROUP, tpx), lambda g, p: (g, 0)),
+                pl.BlockSpec((4, _GROUP, tpx), lambda g, p: (0, g, 0)),
+                pl.BlockSpec((4, _GROUP, tpx), lambda g, p: (0, g, 0)),
+            ],
+            out_specs=pl.BlockSpec((_GROUP, tpx), lambda g, p: (g, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((ntp, tpx), jnp.int32),
+        interpret=interpret,
+    )(params, gb_rows, depth_t, words_r, spec_r)
+    return jax.lax.bitcast_convert_type(out, jnp.uint32)
+
+
+def unpack_color(color_u32, height, width, tile_h, tile_w):
+    """Packed RGBA8 tiles -> [H, W, 3] u8 image."""
+    from orbit_tpu.raster.layout import tiles_to_image
+
+    img = tiles_to_image(color_u32, height, width, tile_h, tile_w)
+    return jnp.stack(
+        [
+            (img & 0xFF).astype(jnp.uint8),
+            ((img >> 8) & 0xFF).astype(jnp.uint8),
+            ((img >> 16) & 0xFF).astype(jnp.uint8),
+        ],
+        axis=-1,
+    )
