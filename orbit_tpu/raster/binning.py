@@ -27,6 +27,12 @@ class BinLists:
     pair_tile: [P] i32 tile id per pair (pad: -1)
     tile_start/tile_count: [T] i32 range into pair_slot per tile
     overflow: [] bool — pair capacity exceeded this frame
+    pair_maxz: [P] f32 conservative nearest depth (early-z skip)
+    pair_qr: [P] i32 packed q0*4+q1 — the quarter-row chunks of the tile
+    covered by the meshlet's bbox (rasterizer skips the others; pixels
+    outside the bbox cannot be covered, so this is semantics-preserving
+    and also suppresses FP-noise phantom fragments of sliver triangles
+    beyond their bbox rows)
     """
 
     pair_slot: jax.Array
@@ -35,6 +41,7 @@ class BinLists:
     tile_count: jax.Array
     overflow: jax.Array
     pair_maxz: jax.Array
+    pair_qr: jax.Array
 
 
 def bin_meshlets(
@@ -113,6 +120,23 @@ def bin_meshlets(
     pair_slot = jnp.where(in_range, slot[order], -1)
     pair_maxz = jnp.where(in_range, maxz_i[slot[order]], -1.0)
 
+    # per-pair quarter-row range of the tile covered by the bbox
+    if tile_h % 4 == 0:
+        cr = tile_h // 4
+        base = (row0 + tile_y) * tile_h
+        ly0 = jnp.clip(
+            jnp.floor(bbox[:, 1]).astype(jnp.int32)[slot] - base,
+            0, tile_h - 1,
+        )
+        ly1 = jnp.clip(
+            jnp.ceil(bbox[:, 3]).astype(jnp.int32)[slot] - 1 - base,
+            0, tile_h - 1,
+        )
+        qr = (ly0 // cr) * 4 + jnp.maximum(ly1, ly0) // cr
+    else:
+        qr = jnp.full_like(slot, 3)  # q0=0, q1=3: full tile
+    pair_qr = jnp.where(in_range, qr[order], 0)
+
     # per-tile ranges via bincount + cumsum (no binary searches)
     per_tile = jnp.zeros((n_tiles,), jnp.int32).at[
         jnp.where(pair_valid, tile, n_tiles)
@@ -126,4 +150,5 @@ def bin_meshlets(
         tile_count=tile_end - tile_start,
         overflow=total > P,
         pair_maxz=pair_maxz,
+        pair_qr=pair_qr,
     )

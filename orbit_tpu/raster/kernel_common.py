@@ -74,12 +74,15 @@ GB_OVERDRAW = 25  # accumulated covering-fragment count (render mode 7)
 GB_ROWS = 32      # padded
 
 
-def raster_meshlet_on_tile(setup_m, vis_base, xs, ys, depth, vis):
+def raster_meshlet_on_tile(setup_m, vis_base, xs, ys, depth, vis,
+                           pix_mask=None):
     """setup_m: [64, 12] triangle coefficients (flattened meshlet)
     vis_base: scalar i32 (slot << 6) + 1
     xs, ys:   [*pix] pixel-center coordinates (any shape, e.g. [TPX] or [TH,TW])
     depth:    [*pix] f32 running reverse-Z depth (0 = far/background)
     vis:      [*pix] i32 running visibility ids
+    pix_mask: optional [*pix] bool — pixels this meshlet may cover (its
+    bbox quarter-row range; must mirror the Pallas kernel's chunk skip)
     Returns updated (depth, vis).
     """
     pix_rank = xs.ndim
@@ -93,6 +96,8 @@ def raster_meshlet_on_tile(setup_m, vis_base, xs, ys, depth, vis):
     z = c[:, ZA] * x + c[:, ZB] * y + c[:, ZC]
 
     inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (z <= 1.0)
+    if pix_mask is not None:
+        inside = inside & pix_mask[None]
     cand = jnp.where(inside, z, -1.0)  # [64, TPX]
 
     best_z = jnp.max(cand, axis=0)  # [TPX]
@@ -153,7 +158,7 @@ def eval_gbuffer_channels(sel, xs, ys):
 
 
 def raster_meshlet_gbuffer(
-    setup_m, attrs_m, vis_base, xs, ys, depth, vis, gb
+    setup_m, attrs_m, vis_base, xs, ys, depth, vis, gb, pix_mask=None
 ):
     """G-buffer variant of raster_meshlet_on_tile. Rank-2 pure.
 
@@ -161,6 +166,7 @@ def raster_meshlet_gbuffer(
     vis: [NP] i32; gb: [GB_ROWS, NP]. Returns (depth, vis, gb).
     The winning triangle's coefficient rows are selected with a one-hot
     matmul (MXU) and evaluated per pixel — zero memory gathers.
+    pix_mask: see raster_meshlet_on_tile.
     """
     # single evaluation of the candidates: the SAME argmax must drive the
     # vis id AND the attribute select (recomputing it in a second fusion
@@ -173,6 +179,8 @@ def raster_meshlet_gbuffer(
     e2 = c[:, E2X] * x + c[:, E2Y] * y + c[:, E2C]
     z = c[:, ZA] * x + c[:, ZB] * y + c[:, ZC]
     inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (z <= 1.0)
+    if pix_mask is not None:
+        inside = inside & pix_mask[None]
     cand = jnp.where(inside, z, -1.0)
     best_z = jnp.max(cand, axis=0)
     best_tri = jnp.argmax(cand, axis=0).astype(jnp.int32)

@@ -64,8 +64,8 @@ def _pair_meta(bins: BinLists, P: int):
 
 
 def _kernel(
-    meta_ref, tile_ref, maxz_ref, rowoff_ref, setup_ref, init_d_ref,
-    init_v_ref, depth_ref, vis_ref, cur_min_ref,
+    meta_ref, tile_ref, maxz_ref, rowoff_ref, qr_ref, setup_ref,
+    init_d_ref, init_v_ref, depth_ref, vis_ref, cur_min_ref,
     *, tile_h, tile_w, ntx, vis_base_offset,
 ):
     p = pl.program_id(0)
@@ -95,46 +95,66 @@ def _kernel(
     # beat the tile's farthest pixel, no fragment can win — skip the step
     active = valid & (maxz_ref[p] > cur_min_ref[0, 0])
 
+    tpx = tile_h * tile_w
+    n_chunks = 4 if tile_h % 4 == 0 else 1
+    cpx = tpx // n_chunks
+    rows_per_chunk = tile_h // n_chunks
+    qr = qr_ref[p]
+    q0 = qr // 4
+    q1 = qr % 4
+
+    ty = (tile // ntx + rowoff_ref[0]).astype(jnp.float32)
+    tx = (tile % ntx).astype(jnp.float32)
+    s = setup_ref[0]  # [64, 12]
+
+    def coef(k):
+        return s[:, k][:, None]  # [64, 1]
+
+    vis_base = ((slot + vis_base_offset) << 6) + 1
+
+    for q in range(n_chunks):
+        # chunk skip: pixels outside the meshlet's bbox rows can't be
+        # covered — evaluate only the quarter-row chunks the bbox spans
+        run_q = active if n_chunks == 1 else (
+            active & (q >= q0) & (q <= q1)
+        )
+
+        @pl.when(run_q)
+        def _(q=q):
+            lanes = pl.ds(q * cpx, cpx)
+            flat = jax.lax.broadcasted_iota(jnp.int32, (1, cpx), 1)
+            col = (flat % tile_w).astype(jnp.float32)
+            row = (
+                flat // tile_w + q * rows_per_chunk
+            ).astype(jnp.float32)
+            xs = tx * tile_w + col + 0.5  # [1, CPX]
+            ys = ty * tile_h + row + 0.5
+
+            e0 = coef(0) * xs + coef(1) * ys + coef(2)  # [64, CPX]
+            e1 = coef(3) * xs + coef(4) * ys + coef(5)
+            e2 = coef(6) * xs + coef(7) * ys + coef(8)
+            z = coef(9) * xs + coef(10) * ys + coef(11)
+
+            inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (z <= 1.0)
+            cand = jnp.where(inside, z, -1.0)
+            best_z = jnp.max(cand, axis=0, keepdims=True)  # [1, CPX]
+            best_tri = jnp.argmax(cand, axis=0, keepdims=True).astype(
+                jnp.int32
+            )
+
+            cur_d = depth_ref[pl.ds(r, 1), lanes]
+            cur_v = vis_ref[pl.ds(r, 1), lanes]
+            win = best_z > cur_d
+            depth_ref[pl.ds(r, 1), lanes] = jnp.where(win, best_z, cur_d)
+            vis_ref[pl.ds(r, 1), lanes] = jnp.where(
+                win, vis_base + best_tri, cur_v
+            )
+
+    # the tile min is unchanged unless some depth rose; recomputing it
+    # for every non-skipped pair is one [1, TPX] reduce (cheap)
     @pl.when(active)
     def _():
-        ty = (tile // ntx + rowoff_ref[0]).astype(jnp.float32)
-        tx = (tile % ntx).astype(jnp.float32)
-        tpx = tile_h * tile_w
-        flat = jax.lax.broadcasted_iota(jnp.int32, (1, tpx), 1)
-        col = (flat % tile_w).astype(jnp.float32)
-        row = (flat // tile_w).astype(jnp.float32)
-        xs = tx * tile_w + col + 0.5  # [1, TPX]
-        ys = ty * tile_h + row + 0.5
-
-        s = setup_ref[0]  # [64, 12]
-
-        def coef(k):
-            return s[:, k][:, None]  # [64, 1]
-
-        # same math as kernel_common.raster_meshlet_on_tile, rank-2 layout
-        e0 = coef(0) * xs + coef(1) * ys + coef(2)  # [64, TPX]
-        e1 = coef(3) * xs + coef(4) * ys + coef(5)
-        e2 = coef(6) * xs + coef(7) * ys + coef(8)
-        z = coef(9) * xs + coef(10) * ys + coef(11)
-
-        inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (z <= 1.0)
-        cand = jnp.where(inside, z, -1.0)
-
-        best_z = jnp.max(cand, axis=0, keepdims=True)  # [1, TPX]
-        best_tri = jnp.argmax(cand, axis=0, keepdims=True).astype(jnp.int32)
-
-        vis_base = ((slot + vis_base_offset) << 6) + 1
-        cur_d = depth_ref[pl.ds(r, 1), :]
-        cur_v = vis_ref[pl.ds(r, 1), :]
-        win = best_z > cur_d
-        new_d = jnp.where(win, best_z, cur_d)
-        depth_ref[pl.ds(r, 1), :] = new_d
-        vis_ref[pl.ds(r, 1), :] = jnp.where(win, vis_base + best_tri, cur_v)
-
-        # cur_min can only change when some pixel's depth rose
-        @pl.when(jnp.any(win))
-        def _():
-            cur_min_ref[0, 0] = jnp.min(new_d)
+        cur_min_ref[0, 0] = jnp.min(depth_ref[pl.ds(r, 1), :])
 
 
 def rasterize_pallas(
@@ -190,15 +210,16 @@ def rasterize_pallas(
     rowoff = jnp.full((1,), tile_row_offset, jnp.int32)
 
     fb_spec = pl.BlockSpec(
-        (_GROUP, tpx), lambda p, meta, tile, maxz, ro: (tile[p] // _GROUP, 0)
+        (_GROUP, tpx),
+        lambda p, meta, tile, maxz, ro, qr: (tile[p] // _GROUP, 0),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(P,),
         in_specs=[
             pl.BlockSpec(
                 (1, 64, 12),
-                lambda p, meta, tile, maxz, ro: (meta[p] >> 3, 0, 0),
+                lambda p, meta, tile, maxz, ro, qr: (meta[p] >> 3, 0, 0),
             ),
             fb_spec,
             fb_spec,
@@ -221,7 +242,10 @@ def rasterize_pallas(
             jax.ShapeDtypeStruct((n_tiles_pad, tpx), jnp.int32),
         ],
         interpret=interpret,
-    )(meta, filled_tile, bins.pair_maxz, rowoff, setup, init_d, init_v)
+    )(
+        meta, filled_tile, bins.pair_maxz, rowoff, bins.pair_qr, setup,
+        init_d, init_v,
+    )
     pvalid = bins.pair_tile >= 0
 
     # tiles whose GROUP no pair ever visited hold garbage: restore init
@@ -236,9 +260,9 @@ def rasterize_pallas(
 
 
 def _gbuffer_kernel(
-    meta_ref, tile_ref, maxz_ref, rowoff_ref, setup_ref, attrs_ref,
-    init_d_ref, init_v_ref, init_g_ref, depth_ref, vis_ref, gb_ref,
-    cur_min_ref,
+    meta_ref, tile_ref, maxz_ref, rowoff_ref, qr_ref, setup_ref,
+    attrs_ref, init_d_ref, init_v_ref, init_g_ref, depth_ref, vis_ref,
+    gb_ref, cur_min_ref, won_ref, bt_s, win_s,
     *, tile_h, tile_w, ntx, vis_base_offset,
 ):
     p = pl.program_id(0)
@@ -267,98 +291,136 @@ def _gbuffer_kernel(
     # a hardware early-Z test would discard their fragments
     active = valid & (maxz_ref[p] > cur_min_ref[0, 0])
 
+    tpx = tile_h * tile_w
+    n_chunks = 4 if tile_h % 4 == 0 else 1
+    cpx = tpx // n_chunks
+    rows_per_chunk = tile_h // n_chunks
+    qr = qr_ref[p]
+    q0 = qr // 4
+    q1 = qr % 4
+
+    ty = (tile // ntx + rowoff_ref[0]).astype(jnp.float32)
+    tx = (tile % ntx).astype(jnp.float32)
+    s = setup_ref[0]  # [64, 12]
+
+    def coef(k):
+        return s[:, k][:, None]  # [64, 1]
+
+    vis_base = ((slot + vis_base_offset) << 6) + 1
+
+    # phase 1 (chunked): edge/depth functionals + depth test run only on
+    # the quarter-row chunks the meshlet bbox spans; winners land in the
+    # bt_s/win_s scratch rows for the single attribute phase below
     @pl.when(active)
     def _():
-        ty = (tile // ntx + rowoff_ref[0]).astype(jnp.float32)
-        tx = (tile % ntx).astype(jnp.float32)
-        tpx = tile_h * tile_w
+        won_ref[0, 0] = 0
+        win_s[...] = jnp.zeros((1, tpx), jnp.float32)
+
+    for q in range(n_chunks):
+        run_q = active if n_chunks == 1 else (
+            active & (q >= q0) & (q <= q1)
+        )
+
+        @pl.when(run_q)
+        def _(q=q):
+            lanes = pl.ds(q * cpx, cpx)
+            flat = jax.lax.broadcasted_iota(jnp.int32, (1, cpx), 1)
+            col = (flat % tile_w).astype(jnp.float32)
+            row = (
+                flat // tile_w + q * rows_per_chunk
+            ).astype(jnp.float32)
+            xs = tx * tile_w + col + 0.5  # [1, CPX]
+            ys = ty * tile_h + row + 0.5
+
+            e0 = coef(0) * xs + coef(1) * ys + coef(2)  # [64, CPX]
+            e1 = coef(3) * xs + coef(4) * ys + coef(5)
+            e2 = coef(6) * xs + coef(7) * ys + coef(8)
+            z = coef(9) * xs + coef(10) * ys + coef(11)
+
+            inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (z <= 1.0)
+            cand = jnp.where(inside, z, -1.0)
+            best_z = jnp.max(cand, axis=0, keepdims=True)  # [1, CPX]
+            best_tri = jnp.argmax(cand, axis=0, keepdims=True).astype(
+                jnp.int32
+            )
+
+            cur_d = depth_ref[pl.ds(r, 1), lanes]
+            cur_v = vis_ref[pl.ds(r, 1), lanes]
+            win = best_z > cur_d
+            depth_ref[pl.ds(r, 1), lanes] = jnp.where(win, best_z, cur_d)
+            vis_ref[pl.ds(r, 1), lanes] = jnp.where(
+                win, vis_base + best_tri, cur_v
+            )
+            bt_s[0:1, lanes] = best_tri
+            win_s[0:1, lanes] = win.astype(jnp.float32)
+
+            # overdraw accumulates over all covering fragments
+            od_row = r * GB_ROWS + GB_OVERDRAW
+            coverage = jnp.sum(
+                inside.astype(jnp.float32), axis=0, keepdims=True
+            )
+            gb_ref[pl.ds(od_row, 1), lanes] = (
+                gb_ref[pl.ds(od_row, 1), lanes] + coverage
+            )
+
+            @pl.when(jnp.any(win))
+            def _():
+                won_ref[0, 0] = 1
+
+    # phase 2: one attribute-interpolation pass over the whole tile for
+    # pairs that won any pixel — occluded-but-binned meshlets skip it
+    @pl.when(active & (won_ref[0, 0] == 1))
+    def _():
+        cur_min_ref[0, 0] = jnp.min(depth_ref[pl.ds(r, 1), :])
         flat = jax.lax.broadcasted_iota(jnp.int32, (1, tpx), 1)
         col = (flat % tile_w).astype(jnp.float32)
         row = (flat // tile_w).astype(jnp.float32)
         xs = tx * tile_w + col + 0.5  # [1, TPX]
         ys = ty * tile_h + row + 0.5
+        winm = win_s[...] > 0.0
 
-        s = setup_ref[0]  # [64, 12]
-
-        def coef(k):
-            return s[:, k][:, None]  # [64, 1]
-
-        e0 = coef(0) * xs + coef(1) * ys + coef(2)  # [64, TPX]
-        e1 = coef(3) * xs + coef(4) * ys + coef(5)
-        e2 = coef(6) * xs + coef(7) * ys + coef(8)
-        z = coef(9) * xs + coef(10) * ys + coef(11)
-
-        inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (z <= 1.0)
-        cand = jnp.where(inside, z, -1.0)
-
-        best_z = jnp.max(cand, axis=0, keepdims=True)  # [1, TPX]
-        best_tri = jnp.argmax(cand, axis=0, keepdims=True).astype(jnp.int32)
-
-        vis_base = ((slot + vis_base_offset) << 6) + 1
-        cur_d = depth_ref[pl.ds(r, 1), :]
-        cur_v = vis_ref[pl.ds(r, 1), :]
-        win = best_z > cur_d
-        new_d = jnp.where(win, best_z, cur_d)
-        depth_ref[pl.ds(r, 1), :] = new_d
-        vis_ref[pl.ds(r, 1), :] = jnp.where(win, vis_base + best_tri, cur_v)
-
-        # overdraw accumulates over all covering fragments of active pairs
-        od_row = r * GB_ROWS + GB_OVERDRAW
-        coverage = jnp.sum(
-            inside.astype(jnp.float32), axis=0, keepdims=True
-        )
-        gb_ref[pl.ds(od_row, 1), :] = (
-            gb_ref[pl.ds(od_row, 1), :] + coverage
-        )
-
-        # attribute interpolation only runs when this pair won pixels —
-        # occluded-but-binned meshlets skip the whole phase. cur_min can
-        # only have changed if some pixel's depth rose, so the min-reduce
-        # also lives here (exactly semantics-preserving).
-        @pl.when(jnp.any(win))
-        def _():
-            cur_min_ref[0, 0] = jnp.min(new_d)
-            # select the winning triangle's per-triangle affine rows with
-            # tpu.dynamic_gather over [8,128] register chunks (exact f32:
-            # the coefficients cancel catastrophically in bf16). The
-            # per-meshlet constant rows are identical for all triangles
-            # and broadcast from lane 0 instead of being selected.
-            attrs_m = attrs_ref[0]  # [AC_ROWS, 64]
-            attrs_w = jnp.concatenate(
-                [attrs_m[:AC_SELECT_ROWS], attrs_m[:AC_SELECT_ROWS]], axis=1
-            )  # lanes->128
-            # pixel-chunk winner ids along SUBLANES (lane-offset slices of
-            # a [1, TPX] vector are relayouts; sublane slices are free)
-            bt_rows = best_tri.reshape(tpx // 128, 128)
-            idx8s = [
-                jnp.broadcast_to(bt_rows[px : px + 1, :], (8, 128))
-                for px in range(tpx // 128)
-            ]
-
-            def build_sel(sel_scratch):
-                for cb in range(AC_SELECT_ROWS // 8):
-                    xrows = attrs_w[cb * 8 : (cb + 1) * 8, :]  # [8, 128]
-                    for px in range(tpx // 128):
-                        sel_scratch[
-                            pl.ds(cb * 8, 8), pl.ds(px * 128, 128)
-                        ] = jnp.take_along_axis(xrows, idx8s[px], axis=1)
-                for row in range(AC_SELECT_ROWS, AC_ROWS):
-                    sel_scratch[pl.ds(row, 1), :] = jnp.broadcast_to(
-                        attrs_m[row : row + 1, 0:1], (1, tpx)
-                    )
-                sel = sel_scratch[...]
-                channels = eval_gbuffer_channels(sel, xs, ys)
-                # write only the interpolated rows — row GB_OVERDRAW is an
-                # accumulator updated above and must not be clobbered
-                gb_base = r * GB_ROWS
-                cur_g = gb_ref[pl.ds(gb_base, GB_OVERDRAW), :]
-                gb_ref[pl.ds(gb_base, GB_OVERDRAW), :] = jnp.where(
-                    win, channels[:GB_OVERDRAW], cur_g
-                )
-
-            pl.run_scoped(
-                build_sel, pltpu.VMEM((AC_ROWS, tpx), jnp.float32)
+        # select the winning triangle's per-triangle affine rows with
+        # tpu.dynamic_gather over [8,128] register chunks (exact f32:
+        # the coefficients cancel catastrophically in bf16). The
+        # per-meshlet constant rows are identical for all triangles
+        # and broadcast from lane 0 instead of being selected.
+        attrs_m = attrs_ref[0]  # [AC_ROWS, 64]
+        attrs_w = jnp.concatenate(
+            [attrs_m[:AC_SELECT_ROWS], attrs_m[:AC_SELECT_ROWS]], axis=1
+        )  # lanes->128
+        bt = bt_s[...]  # skipped chunks hold stale ids; masked by winm
+        idx8s = [
+            jnp.broadcast_to(
+                jnp.clip(bt[0:1, px * 128 : (px + 1) * 128], 0, 127),
+                (8, 128),
             )
+            for px in range(tpx // 128)
+        ]
+
+        def build_sel(sel_scratch):
+            for cb in range(AC_SELECT_ROWS // 8):
+                xrows = attrs_w[cb * 8 : (cb + 1) * 8, :]  # [8, 128]
+                for px in range(tpx // 128):
+                    sel_scratch[
+                        pl.ds(cb * 8, 8), pl.ds(px * 128, 128)
+                    ] = jnp.take_along_axis(xrows, idx8s[px], axis=1)
+            for row_i in range(AC_SELECT_ROWS, AC_ROWS):
+                sel_scratch[pl.ds(row_i, 1), :] = jnp.broadcast_to(
+                    attrs_m[row_i : row_i + 1, 0:1], (1, tpx)
+                )
+            sel = sel_scratch[...]
+            channels = eval_gbuffer_channels(sel, xs, ys)
+            # write only the interpolated rows — GB_OVERDRAW is an
+            # accumulator and must not be clobbered
+            gb_base = r * GB_ROWS
+            cur_g = gb_ref[pl.ds(gb_base, GB_OVERDRAW), :]
+            gb_ref[pl.ds(gb_base, GB_OVERDRAW), :] = jnp.where(
+                winm, channels[:GB_OVERDRAW], cur_g
+            )
+
+        pl.run_scoped(
+            build_sel, pltpu.VMEM((AC_ROWS, tpx), jnp.float32)
+        )
 
 
 def rasterize_pallas_gbuffer(
@@ -431,30 +493,36 @@ def rasterize_pallas_gbuffer(
     rowoff = jnp.full((1,), tile_row_offset, jnp.int32)
 
     fb_spec = pl.BlockSpec(
-        (_GROUP, tpx), lambda p, meta, tile, maxz, ro: (tile[p] // _GROUP, 0)
+        (_GROUP, tpx),
+        lambda p, meta, tile, maxz, ro, qr: (tile[p] // _GROUP, 0),
     )
     gb_spec = pl.BlockSpec(
         (_GROUP * GB_ROWS, tpx),
-        lambda p, meta, tile, maxz, ro: (tile[p] // _GROUP, 0),
+        lambda p, meta, tile, maxz, ro, qr: (tile[p] // _GROUP, 0),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(P,),
         in_specs=[
             pl.BlockSpec(
                 (1, 64, 12),
-                lambda p, meta, tile, maxz, ro: (meta[p] >> 3, 0, 0),
+                lambda p, meta, tile, maxz, ro, qr: (meta[p] >> 3, 0, 0),
             ),
             pl.BlockSpec(
                 (1, AC_ROWS, 64),
-                lambda p, meta, tile, maxz, ro: (meta[p] >> 3, 0, 0),
+                lambda p, meta, tile, maxz, ro, qr: (meta[p] >> 3, 0, 0),
             ),
             fb_spec,
             fb_spec,
             gb_spec,
         ],
         out_specs=[fb_spec, fb_spec, gb_spec],
-        scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
+        scratch_shapes=[
+            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.int32),
+            pltpu.VMEM((1, tpx), jnp.int32),
+            pltpu.VMEM((1, tpx), jnp.float32),
+        ],
     )
 
     depth_t, vis_t, gb_t = pl.pallas_call(
@@ -473,8 +541,8 @@ def rasterize_pallas_gbuffer(
         ],
         interpret=interpret,
     )(
-        meta, filled_tile, bins.pair_maxz, rowoff, setup, attrs,
-        init_d, init_v, init_g,
+        meta, filled_tile, bins.pair_maxz, rowoff, bins.pair_qr, setup,
+        attrs, init_d, init_v, init_g,
     )
     pvalid = bins.pair_tile >= 0
 

@@ -69,8 +69,13 @@ def rasterize_xla(
             # whose conservative nearest depth cannot beat the tile's
             # current min depth cannot win any pixel
             active = bins.pair_maxz[start + k] > cur_min
+            # quarter-row bbox mask (mirrors the kernel's chunk skip)
+            qr = bins.pair_qr[start + k]
+            cr = tile_h // 4 if tile_h % 4 == 0 else tile_h
+            row_l = jnp.arange(tpx, dtype=jnp.int32) // tile_w
+            mask = (row_l >= (qr // 4) * cr) & (row_l < (qr % 4 + 1) * cr)
             nd, nv = raster_meshlet_on_tile(
-                setup_m, vis_base, xs, ys, depth, vis
+                setup_m, vis_base, xs, ys, depth, vis, pix_mask=mask
             )
             nd = jnp.where(active, nd, depth)
             nv = jnp.where(active, nv, vis)
@@ -168,8 +173,13 @@ def rasterize_xla_gbuffer(
             # early-z skip — mirrors the Pallas kernel; a skipped pair
             # contributes nothing, including overdraw coverage
             active = bins.pair_maxz[start + k] > cur_min
+            qr = bins.pair_qr[start + k]
+            cr = tile_h // 4 if tile_h % 4 == 0 else tile_h
+            row_l = jnp.arange(tpx, dtype=jnp.int32) // tile_w
+            mask = (row_l >= (qr // 4) * cr) & (row_l < (qr % 4 + 1) * cr)
             nd, nv, ng = raster_meshlet_gbuffer(
-                setup_m, attrs_m, vis_base, xs, ys, depth, vis, gb
+                setup_m, attrs_m, vis_base, xs, ys, depth, vis, gb,
+                pix_mask=mask,
             )
             nd = jnp.where(active, nd, depth)
             nv = jnp.where(active, nv, vis)
