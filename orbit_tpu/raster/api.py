@@ -21,6 +21,10 @@ class RasterConfig:
     tile_w: int = 128
     pair_capacity: int = 1 << 14
     backend: str = "auto"  # auto | pallas | xla | pallas_interpret
+    # pairs processed per Pallas grid step: amortizes the ~0.4us/step
+    # grid+DMA machinery (measured with an empty kernel body). The pair
+    # stream is padded so one step never spans two fb block groups.
+    pairs_per_step: int = 8
 
     def resolve_backend(self) -> str:
         if self.backend != "auto":
@@ -58,6 +62,7 @@ def rasterize(
         max_z=geom.max_z,
         row0=row0,
         num_rows=None if row_window is None else row_window[1],
+        group_align=cfg.pairs_per_step,
     )
     backend = cfg.resolve_backend()
     if backend == "xla":
@@ -71,7 +76,7 @@ def rasterize(
             geom.setup, bins, local_h, width, cfg.tile_h, cfg.tile_w,
             interpret=(backend == "pallas_interpret"),
             init=init, vis_base_offset=vis_base_offset,
-            tile_row_offset=row0,
+            tile_row_offset=row0, pairs_per_step=cfg.pairs_per_step,
         )
     return depth, vis, bins
 
@@ -113,6 +118,7 @@ def rasterize_gbuffer(
         max_z=geom.max_z,
         row0=row0,
         num_rows=None if row_window is None else row_window[1],
+        group_align=cfg.pairs_per_step,
     )
     backend = cfg.resolve_backend()
     if backend == "xla":
@@ -129,5 +135,6 @@ def rasterize_gbuffer(
             interpret=(backend == "pallas_interpret"),
             init=init, vis_base_offset=vis_base_offset,
             tile_row_offset=row0, tiled_io=tiled_io,
+            pairs_per_step=cfg.pairs_per_step,
         )
     return depth, vis, gb, bins

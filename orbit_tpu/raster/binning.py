@@ -46,7 +46,7 @@ class BinLists:
 
 def bin_meshlets(
     bbox, inst_valid, width, height, tile_h, tile_w, pair_capacity,
-    max_z=None, row0=0, num_rows=None,
+    max_z=None, row0=0, num_rows=None, group_align: int = 1,
 ) -> BinLists:
     """bbox: [I,4] screen bounds; inst_valid: [I] bool.
 
@@ -61,7 +61,13 @@ def bin_meshlets(
     bands): only tiles in rows [row0, row0+num_rows) are binned, and tile
     ids are band-local. row0 may be traced (e.g. from axis_index). The
     per-tile pair order is identical to a full-screen binning of the same
-    tile, so band rasterization is bit-identical to the full screen's."""
+    tile, so band rasterization is bit-identical to the full screen's.
+
+    group_align: pad the sorted stream with invalid pairs so that pairs
+    of different 8-tile framebuffer groups never share a group_align-wide
+    step — the Pallas rasterizer processes that many pairs per grid step
+    with ONE framebuffer block (pair-packing amortizes the ~0.4us/step
+    grid+DMA machinery). Padding counts against pair_capacity."""
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
     if num_rows is None:
@@ -143,12 +149,50 @@ def bin_meshlets(
     ].add(1, mode="drop")
     tile_end = jnp.cumsum(per_tile)
     tile_start = tile_end - per_tile
+    sorted_tile = jnp.where(in_range, sorted_key // 1024, -1)
+    overflow = total > P
+
+    if group_align > 1:
+        # insert invalid padding at 8-tile-group boundaries so that each
+        # group_align-wide kernel step touches exactly one fb block group
+        K = group_align
+        idx = jnp.arange(P, dtype=jnp.int32)
+        gid = jnp.where(in_range, sorted_tile // 8, jnp.int32(1 << 30))
+        prev_gid = jnp.concatenate(
+            [jnp.full((1,), -1, jnp.int32), gid[:-1]]
+        )
+        boundary = in_range & (gid != prev_gid) & (idx > 0)
+        start = jnp.maximum(
+            jax.lax.cummax(jnp.where(boundary, idx, 0)), 0
+        )
+        start_before = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), start[:-1]]
+        )
+        plen = idx - start_before  # at a boundary: ending segment's length
+        pad = jnp.where(boundary, (-plen) % K, 0)
+        cum_pad = jnp.cumsum(pad)
+        new_idx = idx + cum_pad
+        last_new = jnp.max(jnp.where(in_range, new_idx, -1)) + 1
+        overflow = overflow | (last_new > P)
+        tgt = jnp.where(in_range, new_idx, P)
+
+        def scat(arr, fill):
+            out = jnp.full((P,), fill, arr.dtype)
+            return out.at[tgt].set(arr, mode="drop")
+
+        pair_slot = scat(pair_slot, -1)
+        pair_maxz = scat(pair_maxz, -1.0)
+        pair_qr = scat(pair_qr, 0)
+        sorted_tile = scat(sorted_tile, -1)
+        shift = cum_pad[jnp.clip(tile_start, 0, P - 1)]
+        tile_start = jnp.minimum(tile_start + shift, P)
+
     return BinLists(
         pair_slot=pair_slot,
-        pair_tile=jnp.where(in_range, sorted_key // 1024, -1),
+        pair_tile=sorted_tile,
         tile_start=tile_start,
-        tile_count=tile_end - tile_start,
-        overflow=total > P,
+        tile_count=per_tile,
+        overflow=overflow,
         pair_maxz=pair_maxz,
         pair_qr=pair_qr,
     )

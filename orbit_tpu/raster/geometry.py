@@ -21,19 +21,22 @@ import jax
 import jax.numpy as jnp
 
 from orbit_tpu.raster.kernel_common import (
+    AC_A,
     AC_ALPHA_CUTOFF,
+    AC_B,
     AC_BASE,
+    AC_C,
     AC_CTEX,
     AC_EMISSIVE,
     AC_MATID,
     AC_METALLIC,
-    AC_NRM,
     AC_ROUGHNESS,
     AC_ROWS,
-    AC_S,
-    AC_TAN,
-    AC_U,
-    AC_V,
+    ACH_NRM,
+    ACH_S,
+    ACH_TAN,
+    ACH_U,
+    ACH_V,
 )
 
 
@@ -277,16 +280,17 @@ def attribute_setup(edges, valid, tri_attrs, assets, mats):
 
     rows = [None] * AC_ROWS
 
-    def put3(base, trip):
-        rows[base], rows[base + 1], rows[base + 2] = trip
+    def put3(ch, trip):
+        # plane-major: a-coefficient, b-coefficient, constant planes
+        rows[AC_A + ch], rows[AC_B + ch], rows[AC_C + ch] = trip
 
-    put3(AC_U, num_coeffs(tri_attrs[..., :, 0]))
-    put3(AC_V, num_coeffs(tri_attrs[..., :, 1]))
-    put3(AC_S, (e0x + e1x + e2x, e0y + e1y + e2y, e0c + e1c + e2c))
+    put3(ACH_U, num_coeffs(tri_attrs[..., :, 0]))
+    put3(ACH_V, num_coeffs(tri_attrs[..., :, 1]))
+    put3(ACH_S, (e0x + e1x + e2x, e0y + e1y + e2y, e0c + e1c + e2c))
     for k in range(3):
-        put3(AC_NRM + 3 * k, num_coeffs(tri_attrs[..., :, 2 + k]))
+        put3(ACH_NRM + k, num_coeffs(tri_attrs[..., :, 2 + k]))
     for k in range(4):
-        put3(AC_TAN + 3 * k, num_coeffs(tri_attrs[..., :, 5 + k]))
+        put3(ACH_TAN + k, num_coeffs(tri_attrs[..., :, 5 + k]))
 
     def const(v):
         # v: [I] -> broadcast [I,T]

@@ -31,27 +31,36 @@ VIS_NONE = 0  # background visibility id
 # geometry stage emits, per triangle, affine numerator coefficients
 #   attr(p) = (a*px + b*py + c) / S(p),  S = sum of the edge functionals
 # plus per-meshlet material constants. Layout [I, AC_ROWS, 64]: rows =
-# channels below, lanes = triangles (transposed for the in-kernel one-hot
-# MXU select). Affine channels occupy 3 rows (a, b, c); constants 1 row.
-# Per-TRIANGLE affine rows come first (rows < AC_SELECT_ROWS are run
-# through the per-pixel winner select); per-MESHLET constant rows follow
-# (identical across the meshlet's triangles — the kernel broadcasts them
-# as scalars instead of selecting). All selection is exact f32: the
-# coefficients are pixel-scale x w magnitude and the affine evaluation
-# cancels catastrophically, so bf16 selection is NOT allowed.
-AC_U = 0          # uv.x numerator (3 rows)
-AC_V = 3          # uv.y numerator (3)
-AC_S = 6          # denominator: sum of edge coeffs (3)
-AC_NRM = 9        # normal xyz numerators (9)
-AC_TAN = 18       # tangent xyzw numerators (12)
+# channels below, lanes = triangles (transposed for the in-kernel winner
+# select). The affine coefficients are stored PLANE-MAJOR — all a-rows,
+# then all b-rows, then all c-rows, channels in ACH_* order within each
+# plane — so the evaluation num = A*x + B*y + C runs as dense [10, NP]
+# vector ops at full sublane occupancy instead of [1, NP] row ops (8x
+# fewer vector instructions; this was the rasterizer's hottest loop).
+# Per-TRIANGLE affine rows come first (rows < AC_SELECT_ROWS go through
+# the per-pixel winner select); per-MESHLET constant rows follow in
+# EXACTLY the G-buffer's GB_BASE..GB_MATID order so they copy over as one
+# dense block. All selection is exact f32: the coefficients are
+# pixel-scale x w magnitude and the affine evaluation cancels
+# catastrophically, so bf16 selection is NOT allowed.
+ACH_U = 0         # channel order within each a/b/c plane
+ACH_V = 1
+ACH_S = 2         # denominator: sum of edge coefficients
+ACH_NRM = 3       # normal xyz
+ACH_TAN = 6       # tangent xyzw
+ACH_N = 10        # affine channels per plane
+AC_A = 0          # a-plane rows (coefficient of px)
+AC_B = 10         # b-plane rows (coefficient of py)
+AC_C = 20         # c-plane rows (constant)
 AC_SELECT_ROWS = 32  # rows 0..31 go through the winner select (30 used)
-AC_CTEX = 32      # combined-texture layer id (float-encoded, -1 none)
-AC_MATID = 33     # material id (float-encoded, for debug modes)
-AC_ALPHA_CUTOFF = 34
-AC_BASE = 35      # base color RGBA constants (4)
-AC_EMISSIVE = 39  # emissive RGB constants (3)
-AC_METALLIC = 42
-AC_ROUGHNESS = 43
+AC_BASE = 32      # base color RGBA constants (4) — GB order from here
+AC_EMISSIVE = 36  # emissive RGB constants (3)
+AC_METALLIC = 39
+AC_ROUGHNESS = 40
+AC_ALPHA_CUTOFF = 41
+AC_CTEX = 42      # combined-texture layer id (float-encoded, -1 none)
+AC_MATID = 43     # material id (float-encoded, for debug modes)
+AC_CONST_ROWS = 12  # AC_BASE..AC_MATID, contiguous, == GB constant rows
 AC_ROWS = 48      # padded to a multiple of 8 sublanes
 
 # G-buffer row layout emitted by the rasterizer, per tile
@@ -113,47 +122,43 @@ def eval_gbuffer_channels(sel, xs, ys):
     """Evaluate interpolated surface channels from the winning triangle's
     selected coefficient rows. Rank-2 throughout (Mosaic-friendly).
 
-    sel: [AC_ROWS, NP] (per-pixel coefficients after the one-hot select)
+    sel: [AC_ROWS, NP] (per-pixel coefficients after the one-hot select,
+    plane-major — see AC_* layout)
     xs, ys: [NP] or [1, NP] pixel centers.
     Returns [GB_ROWS, NP] — see GB_* layout. All attributes are rational
     interpolants attr = (a*px + b*py + c) / S with analytic screen
-    derivatives for the uv channels (used for texture LOD).
+    derivatives for the uv channels (used for texture LOD). The affine
+    evaluation runs as dense [ACH_N, NP] blocks (full sublane occupancy).
     """
     x = xs.reshape(1, -1)
     y = ys.reshape(1, -1)
 
-    def row(r):
-        return sel[r : r + 1]  # [1, NP]
+    A = sel[AC_A : AC_A + ACH_N]  # [10, NP]
+    B = sel[AC_B : AC_B + ACH_N]
+    C = sel[AC_C : AC_C + ACH_N]
+    num = A * x + B * y + C  # [10, NP] dense
 
-    def affine(base):
-        return row(base) * x + row(base + 1) * y + row(base + 2)
-
-    s_val = affine(AC_S)
+    s_val = num[ACH_S : ACH_S + 1]
     inv_s = 1.0 / jnp.where(jnp.abs(s_val) < 1e-24, 1.0, s_val)
-    u_num = affine(AC_U)
-    v_num = affine(AC_V)
-    u = u_num * inv_s
-    v = v_num * inv_s
+    att = num * inv_s  # [10, NP] dense
+    u = att[ACH_U : ACH_U + 1]
+    v = att[ACH_V : ACH_V + 1]
     # d(U/S)/dx = (Ua - u*Sa)/S etc.
-    dudx = (row(AC_U) - u * row(AC_S)) * inv_s
-    dvdx = (row(AC_V) - v * row(AC_S)) * inv_s
-    dudy = (row(AC_U + 1) - u * row(AC_S + 1)) * inv_s
-    dvdy = (row(AC_V + 1) - v * row(AC_S + 1)) * inv_s
+    a_s = A[ACH_S : ACH_S + 1]
+    b_s = B[ACH_S : ACH_S + 1]
+    dudx = (A[ACH_U : ACH_U + 1] - u * a_s) * inv_s
+    dvdx = (A[ACH_V : ACH_V + 1] - v * a_s) * inv_s
+    dudy = (B[ACH_U : ACH_U + 1] - u * b_s) * inv_s
+    dvdy = (B[ACH_V : ACH_V + 1] - v * b_s) * inv_s
 
-    rows = [u, v, dudx, dvdx, dudy, dvdy]
-    for k in range(3):  # normal xyz
-        rows.append(affine(AC_NRM + 3 * k) * inv_s)
-    for k in range(4):  # tangent xyzw
-        rows.append(affine(AC_TAN + 3 * k) * inv_s)
-    # constant channels in GB order (GB_BASE..GB_MATID)
-    for r in (
-        AC_BASE, AC_BASE + 1, AC_BASE + 2, AC_BASE + 3,
-        AC_EMISSIVE, AC_EMISSIVE + 1, AC_EMISSIVE + 2,
-        AC_METALLIC, AC_ROUGHNESS, AC_ALPHA_CUTOFF, AC_CTEX, AC_MATID,
-    ):
-        rows.append(row(r))
-    while len(rows) < GB_ROWS:
-        rows.append(jnp.zeros_like(u))
+    rows = [
+        u, v, dudx, dvdx, dudy, dvdy,
+        att[ACH_NRM : ACH_NRM + 7],  # normal xyz + tangent xyzw
+        sel[AC_BASE : AC_BASE + AC_CONST_ROWS],  # constants, GB order
+    ]
+    pad = GB_ROWS - (6 + 7 + AC_CONST_ROWS)
+    if pad > 0:
+        rows.append(jnp.zeros((pad, x.shape[1]), sel.dtype))
     return jnp.concatenate(rows, axis=0)
 
 

@@ -66,95 +66,103 @@ def _pair_meta(bins: BinLists, P: int):
 def _kernel(
     meta_ref, tile_ref, maxz_ref, rowoff_ref, qr_ref, setup_ref,
     init_d_ref, init_v_ref, depth_ref, vis_ref, cur_min_ref,
-    *, tile_h, tile_w, ntx, vis_base_offset,
+    *, tile_h, tile_w, ntx, vis_base_offset, pack,
 ):
     p = pl.program_id(0)
-    m = meta_ref[p]
-    valid = (m & 1) == 1
-    first_group = (m & 2) != 0
-    first_tile = (m & 4) != 0
-    slot = m >> 3
-
-    @pl.when(first_group)
-    def _():
-        depth_ref[...] = init_d_ref[...]
-        vis_ref[...] = init_v_ref[...]
-
-    tile = tile_ref[p]
-    r = tile % _GROUP
-
-    # tile's running min depth (SMEM scalar): the early-z reference.
-    # Reset at each tile's first pair AFTER the group init above — for a
-    # late pass this starts at the early pass's depth, so fully-occluded
-    # pairs skip even before drawing anything.
-    @pl.when(valid & first_tile)
-    def _():
-        cur_min_ref[0, 0] = jnp.min(depth_ref[pl.ds(r, 1), :])
-
-    # early-z skip: if this meshlet's conservative nearest depth cannot
-    # beat the tile's farthest pixel, no fragment can win — skip the step
-    active = valid & (maxz_ref[p] > cur_min_ref[0, 0])
-
     tpx = tile_h * tile_w
     n_chunks = 4 if tile_h % 4 == 0 else 1
     cpx = tpx // n_chunks
     rows_per_chunk = tile_h // n_chunks
-    qr = qr_ref[p]
-    q0 = qr // 4
-    q1 = qr % 4
 
-    ty = (tile // ntx + rowoff_ref[0]).astype(jnp.float32)
-    tx = (tile % ntx).astype(jnp.float32)
-    s = setup_ref[0]  # [64, 12]
+    # pair-packed step: `pack` pairs share one framebuffer block (the
+    # binner's group_align padding guarantees they are in one tile group)
+    for j in range(pack):
+        i = p * pack + j
+        m = meta_ref[i]
+        valid = (m & 1) == 1
+        first_group = (m & 2) != 0
+        first_tile = (m & 4) != 0
+        slot = m >> 3
 
-    def coef(k):
-        return s[:, k][:, None]  # [64, 1]
+        @pl.when(first_group)
+        def _():
+            depth_ref[...] = init_d_ref[...]
+            vis_ref[...] = init_v_ref[...]
 
-    vis_base = ((slot + vis_base_offset) << 6) + 1
+        tile = tile_ref[i]
+        r = tile % _GROUP
 
-    for q in range(n_chunks):
-        # chunk skip: pixels outside the meshlet's bbox rows can't be
-        # covered — evaluate only the quarter-row chunks the bbox spans
-        run_q = active if n_chunks == 1 else (
-            active & (q >= q0) & (q <= q1)
-        )
+        # tile's running min depth (SMEM scalar): the early-z reference.
+        # Reset at each tile's first pair AFTER the group init above —
+        # for a late pass this starts at the early pass's depth, so
+        # fully-occluded pairs skip even before drawing anything.
+        @pl.when(valid & first_tile)
+        def _():
+            cur_min_ref[0, 0] = jnp.min(depth_ref[pl.ds(r, 1), :])
 
-        @pl.when(run_q)
-        def _(q=q):
-            lanes = pl.ds(q * cpx, cpx)
-            flat = jax.lax.broadcasted_iota(jnp.int32, (1, cpx), 1)
-            col = (flat % tile_w).astype(jnp.float32)
-            row = (
-                flat // tile_w + q * rows_per_chunk
-            ).astype(jnp.float32)
-            xs = tx * tile_w + col + 0.5  # [1, CPX]
-            ys = ty * tile_h + row + 0.5
+        # early-z skip: if this meshlet's conservative nearest depth
+        # cannot beat the tile's farthest pixel, nothing can win
+        active = valid & (maxz_ref[i] > cur_min_ref[0, 0])
 
-            e0 = coef(0) * xs + coef(1) * ys + coef(2)  # [64, CPX]
-            e1 = coef(3) * xs + coef(4) * ys + coef(5)
-            e2 = coef(6) * xs + coef(7) * ys + coef(8)
-            z = coef(9) * xs + coef(10) * ys + coef(11)
+        qr = qr_ref[i]
+        q0 = qr // 4
+        q1 = qr % 4
+        ty = (tile // ntx + rowoff_ref[0]).astype(jnp.float32)
+        tx = (tile % ntx).astype(jnp.float32)
+        s = setup_ref[j]  # [64, 12]
 
-            inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (z <= 1.0)
-            cand = jnp.where(inside, z, -1.0)
-            best_z = jnp.max(cand, axis=0, keepdims=True)  # [1, CPX]
-            best_tri = jnp.argmax(cand, axis=0, keepdims=True).astype(
-                jnp.int32
+        def coef(k, s=s):
+            return s[:, k][:, None]  # [64, 1]
+
+        vis_base = ((slot + vis_base_offset) << 6) + 1
+
+        for q in range(n_chunks):
+            # chunk skip: pixels outside the meshlet's bbox rows can't
+            # be covered — evaluate only the spanned quarter-row chunks
+            run_q = active if n_chunks == 1 else (
+                active & (q >= q0) & (q <= q1)
             )
 
-            cur_d = depth_ref[pl.ds(r, 1), lanes]
-            cur_v = vis_ref[pl.ds(r, 1), lanes]
-            win = best_z > cur_d
-            depth_ref[pl.ds(r, 1), lanes] = jnp.where(win, best_z, cur_d)
-            vis_ref[pl.ds(r, 1), lanes] = jnp.where(
-                win, vis_base + best_tri, cur_v
-            )
+            @pl.when(run_q)
+            def _(q=q, r=r, coef=coef, vis_base=vis_base):
+                lanes = pl.ds(q * cpx, cpx)
+                flat = jax.lax.broadcasted_iota(jnp.int32, (1, cpx), 1)
+                col = (flat % tile_w).astype(jnp.float32)
+                row = (
+                    flat // tile_w + q * rows_per_chunk
+                ).astype(jnp.float32)
+                xs = tx * tile_w + col + 0.5  # [1, CPX]
+                ys = ty * tile_h + row + 0.5
 
-    # the tile min is unchanged unless some depth rose; recomputing it
-    # for every non-skipped pair is one [1, TPX] reduce (cheap)
-    @pl.when(active)
-    def _():
-        cur_min_ref[0, 0] = jnp.min(depth_ref[pl.ds(r, 1), :])
+                e0 = coef(0) * xs + coef(1) * ys + coef(2)  # [64, CPX]
+                e1 = coef(3) * xs + coef(4) * ys + coef(5)
+                e2 = coef(6) * xs + coef(7) * ys + coef(8)
+                z = coef(9) * xs + coef(10) * ys + coef(11)
+
+                inside = (
+                    (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (z <= 1.0)
+                )
+                cand = jnp.where(inside, z, -1.0)
+                best_z = jnp.max(cand, axis=0, keepdims=True)  # [1, CPX]
+                best_tri = jnp.argmax(cand, axis=0, keepdims=True).astype(
+                    jnp.int32
+                )
+
+                cur_d = depth_ref[pl.ds(r, 1), lanes]
+                cur_v = vis_ref[pl.ds(r, 1), lanes]
+                win = best_z > cur_d
+                depth_ref[pl.ds(r, 1), lanes] = jnp.where(
+                    win, best_z, cur_d
+                )
+                vis_ref[pl.ds(r, 1), lanes] = jnp.where(
+                    win, vis_base + best_tri, cur_v
+                )
+
+        # the tile min is unchanged unless some depth rose; recomputing
+        # it for every non-skipped pair is one [1, TPX] reduce (cheap)
+        @pl.when(active)
+        def _():
+            cur_min_ref[0, 0] = jnp.min(depth_ref[pl.ds(r, 1), :])
 
 
 def rasterize_pallas(
@@ -168,10 +176,14 @@ def rasterize_pallas(
     init=None,
     vis_base_offset: int = 0,
     tile_row_offset=0,
+    pairs_per_step: int = 1,
 ):
     """setup: [I, 64, 12] f32. Returns (depth [H,W] f32, vis [H,W] i32).
 
     init: optional (depth [H,W], vis [H,W]) composited under this pass.
+    pairs_per_step > 1 requires bins built with group_align=pairs_per_step
+    (the per-pair setup is pre-gathered into pair order so blocks stream
+    sequentially, and each step touches one framebuffer block group).
     """
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
@@ -208,18 +220,23 @@ def rasterize_pallas(
 
     meta, filled_tile = _pair_meta(bins, P)
     rowoff = jnp.full((1,), tile_row_offset, jnp.int32)
+    pack = pairs_per_step
+    assert P % pack == 0, f"pair capacity {P} not divisible by {pack}"
+    # pre-gather per-pair setup into stream order: kernel blocks then
+    # stream sequentially with no data-dependent gather index maps
+    setup_pairs = setup[jnp.maximum(bins.pair_slot, 0)]  # [P, 64, 12]
 
     fb_spec = pl.BlockSpec(
         (_GROUP, tpx),
-        lambda p, meta, tile, maxz, ro, qr: (tile[p] // _GROUP, 0),
+        lambda p, meta, tile, maxz, ro, qr: (tile[p * pack] // _GROUP, 0),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(P,),
+        grid=(P // pack,),
         in_specs=[
             pl.BlockSpec(
-                (1, 64, 12),
-                lambda p, meta, tile, maxz, ro, qr: (meta[p] >> 3, 0, 0),
+                (pack, 64, 12),
+                lambda p, meta, tile, maxz, ro, qr: (p, 0, 0),
             ),
             fb_spec,
             fb_spec,
@@ -235,6 +252,7 @@ def rasterize_pallas(
             tile_w=tile_w,
             ntx=ntx,
             vis_base_offset=vis_base_offset,
+            pack=pack,
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -243,8 +261,8 @@ def rasterize_pallas(
         ],
         interpret=interpret,
     )(
-        meta, filled_tile, bins.pair_maxz, rowoff, bins.pair_qr, setup,
-        init_d, init_v,
+        meta, filled_tile, bins.pair_maxz, rowoff, bins.pair_qr,
+        setup_pairs, init_d, init_v,
     )
     pvalid = bins.pair_tile >= 0
 
@@ -263,164 +281,175 @@ def _gbuffer_kernel(
     meta_ref, tile_ref, maxz_ref, rowoff_ref, qr_ref, setup_ref,
     attrs_ref, init_d_ref, init_v_ref, init_g_ref, depth_ref, vis_ref,
     gb_ref, cur_min_ref, won_ref, bt_s, win_s,
-    *, tile_h, tile_w, ntx, vis_base_offset,
+    *, tile_h, tile_w, ntx, vis_base_offset, pack,
 ):
     p = pl.program_id(0)
-    m = meta_ref[p]
-    valid = (m & 1) == 1
-    first_group = (m & 2) != 0
-    first_tile = (m & 4) != 0
-    slot = m >> 3
-
-    @pl.when(first_group)
-    def _():
-        depth_ref[...] = init_d_ref[...]
-        vis_ref[...] = init_v_ref[...]
-        gb_ref[...] = init_g_ref[...]
-
-    tile = tile_ref[p]
-    r = tile % _GROUP
-
-    @pl.when(valid & first_tile)
-    def _():
-        cur_min_ref[0, 0] = jnp.min(depth_ref[pl.ds(r, 1), :])
-
-    # early-z skip (see _kernel): with front-to-back pair ordering, pairs
-    # fully occluded by already-drawn geometry skip the entire step —
-    # including the attribute phase and the overdraw coverage, exactly as
-    # a hardware early-Z test would discard their fragments
-    active = valid & (maxz_ref[p] > cur_min_ref[0, 0])
-
     tpx = tile_h * tile_w
     n_chunks = 4 if tile_h % 4 == 0 else 1
     cpx = tpx // n_chunks
     rows_per_chunk = tile_h // n_chunks
-    qr = qr_ref[p]
-    q0 = qr // 4
-    q1 = qr % 4
 
-    ty = (tile // ntx + rowoff_ref[0]).astype(jnp.float32)
-    tx = (tile % ntx).astype(jnp.float32)
-    s = setup_ref[0]  # [64, 12]
+    for j in range(pack):
+        i = p * pack + j
+        m = meta_ref[i]
+        valid = (m & 1) == 1
+        first_group = (m & 2) != 0
+        first_tile = (m & 4) != 0
+        slot = m >> 3
 
-    def coef(k):
-        return s[:, k][:, None]  # [64, 1]
+        @pl.when(first_group)
+        def _():
+            depth_ref[...] = init_d_ref[...]
+            vis_ref[...] = init_v_ref[...]
+            gb_ref[...] = init_g_ref[...]
 
-    vis_base = ((slot + vis_base_offset) << 6) + 1
+        tile = tile_ref[i]
+        r = tile % _GROUP
 
-    # phase 1 (chunked): edge/depth functionals + depth test run only on
-    # the quarter-row chunks the meshlet bbox spans; winners land in the
-    # bt_s/win_s scratch rows for the single attribute phase below
-    @pl.when(active)
-    def _():
-        won_ref[0, 0] = 0
-        win_s[...] = jnp.zeros((1, tpx), jnp.float32)
+        @pl.when(valid & first_tile)
+        def _(r=r):
+            cur_min_ref[0, 0] = jnp.min(depth_ref[pl.ds(r, 1), :])
 
-    for q in range(n_chunks):
-        run_q = active if n_chunks == 1 else (
-            active & (q >= q0) & (q <= q1)
-        )
+        # early-z skip (see _kernel): with front-to-back pair ordering,
+        # pairs fully occluded by already-drawn geometry skip everything
+        # — including the attribute phase and the overdraw coverage,
+        # exactly as a hardware early-Z test discards their fragments
+        active = valid & (maxz_ref[i] > cur_min_ref[0, 0])
 
-        @pl.when(run_q)
-        def _(q=q):
-            lanes = pl.ds(q * cpx, cpx)
-            flat = jax.lax.broadcasted_iota(jnp.int32, (1, cpx), 1)
-            col = (flat % tile_w).astype(jnp.float32)
-            row = (
-                flat // tile_w + q * rows_per_chunk
-            ).astype(jnp.float32)
-            xs = tx * tile_w + col + 0.5  # [1, CPX]
-            ys = ty * tile_h + row + 0.5
+        qr = qr_ref[i]
+        q0 = qr // 4
+        q1 = qr % 4
+        ty = (tile // ntx + rowoff_ref[0]).astype(jnp.float32)
+        tx = (tile % ntx).astype(jnp.float32)
+        s = setup_ref[j]  # [64, 12]
 
-            e0 = coef(0) * xs + coef(1) * ys + coef(2)  # [64, CPX]
-            e1 = coef(3) * xs + coef(4) * ys + coef(5)
-            e2 = coef(6) * xs + coef(7) * ys + coef(8)
-            z = coef(9) * xs + coef(10) * ys + coef(11)
+        def coef(k, s=s):
+            return s[:, k][:, None]  # [64, 1]
 
-            inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (z <= 1.0)
-            cand = jnp.where(inside, z, -1.0)
-            best_z = jnp.max(cand, axis=0, keepdims=True)  # [1, CPX]
-            best_tri = jnp.argmax(cand, axis=0, keepdims=True).astype(
-                jnp.int32
+        vis_base = ((slot + vis_base_offset) << 6) + 1
+
+        # phase 1 (chunked): edge/depth functionals + depth test on the
+        # quarter-row chunks the meshlet bbox spans; winners land in the
+        # bt_s/win_s scratch rows for the single attribute phase below
+        @pl.when(active)
+        def _():
+            won_ref[0, 0] = 0
+            win_s[...] = jnp.zeros((1, tpx), jnp.float32)
+
+        for q in range(n_chunks):
+            run_q = active if n_chunks == 1 else (
+                active & (q >= q0) & (q <= q1)
             )
 
-            cur_d = depth_ref[pl.ds(r, 1), lanes]
-            cur_v = vis_ref[pl.ds(r, 1), lanes]
-            win = best_z > cur_d
-            depth_ref[pl.ds(r, 1), lanes] = jnp.where(win, best_z, cur_d)
-            vis_ref[pl.ds(r, 1), lanes] = jnp.where(
-                win, vis_base + best_tri, cur_v
-            )
-            bt_s[0:1, lanes] = best_tri
-            win_s[0:1, lanes] = win.astype(jnp.float32)
+            @pl.when(run_q)
+            def _(q=q, r=r, coef=coef, vis_base=vis_base):
+                lanes = pl.ds(q * cpx, cpx)
+                flat = jax.lax.broadcasted_iota(jnp.int32, (1, cpx), 1)
+                col = (flat % tile_w).astype(jnp.float32)
+                row = (
+                    flat // tile_w + q * rows_per_chunk
+                ).astype(jnp.float32)
+                xs = tx * tile_w + col + 0.5  # [1, CPX]
+                ys = ty * tile_h + row + 0.5
 
-            # overdraw accumulates over all covering fragments
-            od_row = r * GB_ROWS + GB_OVERDRAW
-            coverage = jnp.sum(
-                inside.astype(jnp.float32), axis=0, keepdims=True
-            )
-            gb_ref[pl.ds(od_row, 1), lanes] = (
-                gb_ref[pl.ds(od_row, 1), lanes] + coverage
-            )
+                e0 = coef(0) * xs + coef(1) * ys + coef(2)  # [64, CPX]
+                e1 = coef(3) * xs + coef(4) * ys + coef(5)
+                e2 = coef(6) * xs + coef(7) * ys + coef(8)
+                z = coef(9) * xs + coef(10) * ys + coef(11)
 
-            @pl.when(jnp.any(win))
-            def _():
-                won_ref[0, 0] = 1
-
-    # phase 2: one attribute-interpolation pass over the whole tile for
-    # pairs that won any pixel — occluded-but-binned meshlets skip it
-    @pl.when(active & (won_ref[0, 0] == 1))
-    def _():
-        cur_min_ref[0, 0] = jnp.min(depth_ref[pl.ds(r, 1), :])
-        flat = jax.lax.broadcasted_iota(jnp.int32, (1, tpx), 1)
-        col = (flat % tile_w).astype(jnp.float32)
-        row = (flat // tile_w).astype(jnp.float32)
-        xs = tx * tile_w + col + 0.5  # [1, TPX]
-        ys = ty * tile_h + row + 0.5
-        winm = win_s[...] > 0.0
-
-        # select the winning triangle's per-triangle affine rows with
-        # tpu.dynamic_gather over [8,128] register chunks (exact f32:
-        # the coefficients cancel catastrophically in bf16). The
-        # per-meshlet constant rows are identical for all triangles
-        # and broadcast from lane 0 instead of being selected.
-        attrs_m = attrs_ref[0]  # [AC_ROWS, 64]
-        attrs_w = jnp.concatenate(
-            [attrs_m[:AC_SELECT_ROWS], attrs_m[:AC_SELECT_ROWS]], axis=1
-        )  # lanes->128
-        bt = bt_s[...]  # skipped chunks hold stale ids; masked by winm
-        idx8s = [
-            jnp.broadcast_to(
-                jnp.clip(bt[0:1, px * 128 : (px + 1) * 128], 0, 127),
-                (8, 128),
-            )
-            for px in range(tpx // 128)
-        ]
-
-        def build_sel(sel_scratch):
-            for cb in range(AC_SELECT_ROWS // 8):
-                xrows = attrs_w[cb * 8 : (cb + 1) * 8, :]  # [8, 128]
-                for px in range(tpx // 128):
-                    sel_scratch[
-                        pl.ds(cb * 8, 8), pl.ds(px * 128, 128)
-                    ] = jnp.take_along_axis(xrows, idx8s[px], axis=1)
-            for row_i in range(AC_SELECT_ROWS, AC_ROWS):
-                sel_scratch[pl.ds(row_i, 1), :] = jnp.broadcast_to(
-                    attrs_m[row_i : row_i + 1, 0:1], (1, tpx)
+                inside = (
+                    (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (z <= 1.0)
                 )
-            sel = sel_scratch[...]
-            channels = eval_gbuffer_channels(sel, xs, ys)
-            # write only the interpolated rows — GB_OVERDRAW is an
-            # accumulator and must not be clobbered
-            gb_base = r * GB_ROWS
-            cur_g = gb_ref[pl.ds(gb_base, GB_OVERDRAW), :]
-            gb_ref[pl.ds(gb_base, GB_OVERDRAW), :] = jnp.where(
-                winm, channels[:GB_OVERDRAW], cur_g
-            )
+                cand = jnp.where(inside, z, -1.0)
+                best_z = jnp.max(cand, axis=0, keepdims=True)  # [1, CPX]
+                best_tri = jnp.argmax(cand, axis=0, keepdims=True).astype(
+                    jnp.int32
+                )
 
-        pl.run_scoped(
-            build_sel, pltpu.VMEM((AC_ROWS, tpx), jnp.float32)
-        )
+                cur_d = depth_ref[pl.ds(r, 1), lanes]
+                cur_v = vis_ref[pl.ds(r, 1), lanes]
+                win = best_z > cur_d
+                depth_ref[pl.ds(r, 1), lanes] = jnp.where(
+                    win, best_z, cur_d
+                )
+                vis_ref[pl.ds(r, 1), lanes] = jnp.where(
+                    win, vis_base + best_tri, cur_v
+                )
+                bt_s[0:1, lanes] = best_tri
+                win_s[0:1, lanes] = win.astype(jnp.float32)
+
+                # overdraw accumulates over all covering fragments
+                od_row = r * GB_ROWS + GB_OVERDRAW
+                coverage = jnp.sum(
+                    inside.astype(jnp.float32), axis=0, keepdims=True
+                )
+                gb_ref[pl.ds(od_row, 1), lanes] = (
+                    gb_ref[pl.ds(od_row, 1), lanes] + coverage
+                )
+
+                @pl.when(jnp.any(win))
+                def _():
+                    won_ref[0, 0] = 1
+
+        # phase 2: one attribute-interpolation pass over the whole tile
+        # for pairs that won any pixel — occluded ones skip it
+        @pl.when(active & (won_ref[0, 0] == 1))
+        def _(j=j, r=r):
+            cur_min_ref[0, 0] = jnp.min(depth_ref[pl.ds(r, 1), :])
+            flat = jax.lax.broadcasted_iota(jnp.int32, (1, tpx), 1)
+            col = (flat % tile_w).astype(jnp.float32)
+            row = (flat // tile_w).astype(jnp.float32)
+            xs = tx * tile_w + col + 0.5  # [1, TPX]
+            ys = ty * tile_h + row + 0.5
+            winm = win_s[...] > 0.0
+
+            # select the winning triangle's per-triangle affine rows with
+            # tpu.dynamic_gather over [8,128] register chunks (exact f32:
+            # the coefficients cancel catastrophically in bf16). The
+            # per-meshlet constant rows are identical for all triangles
+            # and broadcast from lane 0 instead of being selected.
+            attrs_m = attrs_ref[j]  # [AC_ROWS, 64]
+            attrs_w = jnp.concatenate(
+                [attrs_m[:AC_SELECT_ROWS], attrs_m[:AC_SELECT_ROWS]],
+                axis=1,
+            )  # lanes->128
+            bt = bt_s[...]  # stale ids in skipped chunks; masked by winm
+            idx8s = [
+                jnp.broadcast_to(
+                    jnp.clip(bt[0:1, px * 128 : (px + 1) * 128], 0, 127),
+                    (8, 128),
+                )
+                for px in range(tpx // 128)
+            ]
+
+            def build_sel(sel_scratch):
+                for cb in range(AC_SELECT_ROWS // 8):
+                    xrows = attrs_w[cb * 8 : (cb + 1) * 8, :]  # [8, 128]
+                    for px in range(tpx // 128):
+                        sel_scratch[
+                            pl.ds(cb * 8, 8), pl.ds(px * 128, 128)
+                        ] = jnp.take_along_axis(xrows, idx8s[px], axis=1)
+                # per-meshlet constant rows: one dense broadcast block
+                n_const = AC_ROWS - AC_SELECT_ROWS
+                sel_scratch[pl.ds(AC_SELECT_ROWS, n_const), :] = (
+                    jnp.broadcast_to(
+                        attrs_m[AC_SELECT_ROWS:AC_ROWS, 0:1],
+                        (n_const, tpx),
+                    )
+                )
+                sel = sel_scratch[...]
+                channels = eval_gbuffer_channels(sel, xs, ys)
+                # write only the interpolated rows — GB_OVERDRAW is an
+                # accumulator and must not be clobbered
+                gb_base = r * GB_ROWS
+                cur_g = gb_ref[pl.ds(gb_base, GB_OVERDRAW), :]
+                gb_ref[pl.ds(gb_base, GB_OVERDRAW), :] = jnp.where(
+                    winm, channels[:GB_OVERDRAW], cur_g
+                )
+
+            pl.run_scoped(
+                build_sel, pltpu.VMEM((AC_ROWS, tpx), jnp.float32)
+            )
 
 
 def rasterize_pallas_gbuffer(
@@ -436,6 +465,7 @@ def rasterize_pallas_gbuffer(
     vis_base_offset: int = 0,
     tile_row_offset=0,
     tiled_io: bool = False,
+    pairs_per_step: int = 1,
 ):
     """G-buffer rasterizer. setup: [I,64,12]; attrs: [I, AC_ROWS, 64].
 
@@ -491,26 +521,33 @@ def rasterize_pallas_gbuffer(
 
     meta, filled_tile = _pair_meta(bins, P)
     rowoff = jnp.full((1,), tile_row_offset, jnp.int32)
+    pack = pairs_per_step
+    assert P % pack == 0, f"pair capacity {P} not divisible by {pack}"
+    # pre-gather per-pair setup/attrs into stream order: kernel blocks
+    # stream sequentially with no data-dependent gather index maps
+    safe_slot = jnp.maximum(bins.pair_slot, 0)
+    setup_pairs = setup[safe_slot]  # [P, 64, 12]
+    attrs_pairs = attrs[safe_slot]  # [P, AC_ROWS, 64]
 
     fb_spec = pl.BlockSpec(
         (_GROUP, tpx),
-        lambda p, meta, tile, maxz, ro, qr: (tile[p] // _GROUP, 0),
+        lambda p, meta, tile, maxz, ro, qr: (tile[p * pack] // _GROUP, 0),
     )
     gb_spec = pl.BlockSpec(
         (_GROUP * GB_ROWS, tpx),
-        lambda p, meta, tile, maxz, ro, qr: (tile[p] // _GROUP, 0),
+        lambda p, meta, tile, maxz, ro, qr: (tile[p * pack] // _GROUP, 0),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(P,),
+        grid=(P // pack,),
         in_specs=[
             pl.BlockSpec(
-                (1, 64, 12),
-                lambda p, meta, tile, maxz, ro, qr: (meta[p] >> 3, 0, 0),
+                (pack, 64, 12),
+                lambda p, meta, tile, maxz, ro, qr: (p, 0, 0),
             ),
             pl.BlockSpec(
-                (1, AC_ROWS, 64),
-                lambda p, meta, tile, maxz, ro, qr: (meta[p] >> 3, 0, 0),
+                (pack, AC_ROWS, 64),
+                lambda p, meta, tile, maxz, ro, qr: (p, 0, 0),
             ),
             fb_spec,
             fb_spec,
@@ -532,6 +569,7 @@ def rasterize_pallas_gbuffer(
             tile_w=tile_w,
             ntx=ntx,
             vis_base_offset=vis_base_offset,
+            pack=pack,
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -541,8 +579,8 @@ def rasterize_pallas_gbuffer(
         ],
         interpret=interpret,
     )(
-        meta, filled_tile, bins.pair_maxz, rowoff, bins.pair_qr, setup,
-        attrs, init_d, init_v, init_g,
+        meta, filled_tile, bins.pair_maxz, rowoff, bins.pair_qr,
+        setup_pairs, attrs_pairs, init_d, init_v, init_g,
     )
     pvalid = bins.pair_tile >= 0
 
