@@ -56,8 +56,11 @@ _GROUP = 8  # tiles per kernel block
 _P_IVP = 0  # inv(view_proj) row-major [16]
 _P_EYE = 16  # [3]
 _P_EXPOSURE = 19
-_P_SH = 20  # SH9 irradiance [9*3] row-major
-_P_LIGHT = 47  # per light: dir[3] color[3] pos[3] intensity inner outer
+_P_PROJ00 = 20  # proj[0,0], proj[1,1] (background camera rays)
+_P_PROJ11 = 21
+_P_VIEWR = 22  # view[:3,:3] row-major [9]
+_P_SH = 31  # SH9 irradiance [9*3] row-major
+_P_LIGHT = 58  # per light: dir[3] color[3] pos[3] intensity inner outer
 _P_PER_LIGHT = 12
 _LUM_CUTOFF = 0.25  # pbr.shade default luminance cutoff
 
@@ -310,6 +313,9 @@ def _pack_params(scene, env, view, exposure, n_lights):
         ivp.reshape(-1),
         view.eye,
         jnp.full((1,), exposure, jnp.float32),
+        view.proj[0:1, 0],
+        view.proj[1:2, 1],
+        view.view[:3, :3].reshape(-1),
         env.sh_irradiance.reshape(-1),
     ]
     for li in range(n_lights):
@@ -328,42 +334,43 @@ def _pack_params(scene, env, view, exposure, n_lights):
     return jnp.concatenate([jnp.asarray(p, jnp.float32) for p in parts])
 
 
-def _prepass(assets, env, view, gb_rows, depth_t, ntx, tile_h, tile_w, H, W):
-    """XLA pre-gather: ONE combined-texture texel + ONE prefiltered-env
-    texel per pixel (nearest filtering — the bench path). Returns
-    (words [4, ntp, tpx] f32-carried texels, spec [4, ntp, tpx])."""
-    ntp, tpx = depth_t.shape
-
-    def row(r):
-        return gb_rows[r]
-
-    valid = depth_t > 0.0
-    # --- combined-texture address (gbuffer.sample_ctex mode="nearest")
-    tex_size = size_from_atlas(assets.ctex_data.shape[1])
-    t4 = assets.ctex_data.shape[1]
+def _ctex_addr_math(gbrow, tex_size, t4):
+    """Nearest-mip combined-texture texel address from G-buffer rows
+    (gbuffer.sample_ctex mode="nearest" parity). Component arrays."""
     ts = jnp.float32(tex_size)
-    fx = (row(GB_DUDX) ** 2 + row(GB_DVDX) ** 2) * (ts * ts)
-    fy = (row(GB_DUDY) ** 2 + row(GB_DVDY) ** 2) * (ts * ts)
+    fx = (gbrow(GB_DUDX) ** 2 + gbrow(GB_DVDX) ** 2) * (ts * ts)
+    fy = (gbrow(GB_DUDY) ** 2 + gbrow(GB_DVDY) ** 2) * (ts * ts)
     lod = 0.5 * jnp.log2(jnp.maximum(jnp.maximum(fx, fy), 1e-12))
     n = num_mips(tex_size)
     k = jnp.round(jnp.clip(lod, 0.0, n - 1.0)).astype(jnp.int32)
-    layer = jnp.round(row(GB_CTEX)).astype(jnp.int32)
+    layer = jnp.round(gbrow(GB_CTEX)).astype(jnp.int32)
     safe_layer = jnp.maximum(layer, 0)
     _, size = _mip_offset_closed_form(tex_size, k)
     fsize = size.astype(jnp.float32)
-    tx_ = (row(GB_U) * fsize).astype(jnp.int32)
-    ty_ = (row(GB_V) * fsize).astype(jnp.int32)
-    addr = _ctex_addr(safe_layer, t4, tex_size, k, tx_, ty_)
-    words = assets.ctex_data.reshape(-1, 4)[addr]  # [ntp, tpx, 4]
+    tx_ = (gbrow(GB_U) * fsize).astype(jnp.int32)
+    ty_ = (gbrow(GB_V) * fsize).astype(jnp.int32)
+    return _ctex_addr(safe_layer, t4, tex_size, k, tx_, ty_)
 
-    # --- shading normal (for the reflection ray; parity w/ gbuffer)
-    w1 = jax.lax.bitcast_convert_type(words[..., 1], jnp.uint32)
+
+def _spec_addr_math(
+    P, gbrow, depth, w1, x, y, W, H, spec_size, spec_mips, t_env
+):
+    """Prefiltered-env texel address (ibl.sample_specular "nearest"):
+    shading-normal reflection ray on covered pixels, camera ray on
+    background. w1: u32 word 1 of the combined texel (normal xy, rough)."""
+    valid = depth > 0.0
+    layer = jnp.round(gbrow(GB_CTEX)).astype(jnp.int32)
+    has = layer >= 0
     nt_x = _byte(w1, 0) * 2.0 - 1.0
     nt_y = _byte(w1, 1) * 2.0 - 1.0
     nt_z = jnp.sqrt(jnp.abs(1.0 - nt_x * nt_x - nt_y * nt_y))
-    ngx, ngy, ngz = _rnorm3(row(GB_NRM), row(GB_NRM + 1), row(GB_NRM + 2))
-    ttx, tty, ttz = _rnorm3(row(GB_TAN), row(GB_TAN + 1), row(GB_TAN + 2))
-    tw = jnp.sign(row(GB_TAN + 3) + 1e-20)
+    ngx, ngy, ngz = _rnorm3(
+        gbrow(GB_NRM), gbrow(GB_NRM + 1), gbrow(GB_NRM + 2)
+    )
+    ttx, tty, ttz = _rnorm3(
+        gbrow(GB_TAN), gbrow(GB_TAN + 1), gbrow(GB_TAN + 2)
+    )
+    tw = jnp.sign(gbrow(GB_TAN + 3) + 1e-20)
     bx = (ngy * ttz - ngz * tty) * tw
     by = (ngz * ttx - ngx * ttz) * tw
     bz = (ngx * tty - ngy * ttx) * tw
@@ -373,76 +380,182 @@ def _prepass(assets, env, view, gb_rows, depth_t, ntx, tile_h, tile_w, H, W):
         ttz * nt_x + bz * nt_y + ngz * nt_z,
     )
     thr = 1.5 / 127.0
-    has = layer >= 0
     use_map = has & (~((jnp.abs(nt_x) < thr) & (jnp.abs(nt_y) < thr)))
     nx = jnp.where(use_map, nmx, ngx)
     ny = jnp.where(use_map, nmy, ngy)
     nz = jnp.where(use_map, nmz, ngz)
 
-    # --- reflection / camera ray, then env texel (ibl nearest parity)
-    t_idx = jax.lax.broadcasted_iota(jnp.int32, (ntp, tpx), 0)
-    p_idx = jax.lax.broadcasted_iota(jnp.int32, (ntp, tpx), 1)
-    ty_t = t_idx // ntx
-    tx_t = t_idx % ntx
-    x = (tx_t * tile_w + p_idx % tile_w).astype(jnp.float32) + 0.5
-    y = (ty_t * tile_h + p_idx // tile_w).astype(jnp.float32) + 0.5
-
-    ivp = jnp.linalg.inv(view.view_proj)
     ndc_x = x / W * 2.0 - 1.0
     ndc_y = (1.0 - y / H) * 2.0 - 1.0
 
     def ivp_row(j):
         return (
-            ivp[j, 0] * ndc_x
-            + ivp[j, 1] * ndc_y
-            + ivp[j, 2] * depth_t
-            + ivp[j, 3]
+            P(_P_IVP + 4 * j) * ndc_x
+            + P(_P_IVP + 4 * j + 1) * ndc_y
+            + P(_P_IVP + 4 * j + 2) * depth
+            + P(_P_IVP + 4 * j + 3)
         )
 
     ww = ivp_row(3)
     ww = jnp.where(jnp.abs(ww) < 1e-20, 1.0, ww)
     wx, wy, wz = ivp_row(0) / ww, ivp_row(1) / ww, ivp_row(2) / ww
-    vx, vy, vz = _rnorm3(view.eye[0] - wx, view.eye[1] - wy, view.eye[2] - wz)
+    vx, vy, vz = _rnorm3(
+        P(_P_EYE) - wx, P(_P_EYE + 1) - wy, P(_P_EYE + 2) - wz
+    )
     ndv2 = 2.0 * (nx * vx + ny * vy + nz * vz)
     rx, ry, rz = ndv2 * nx - vx, ndv2 * ny - vy, ndv2 * nz - vz
 
     # camera rays for the background (renderer.camera_ray_dirs parity)
-    dvx = ndc_x / view.proj[0, 0]
-    dvy = ndc_y / view.proj[1, 1]
-    r3 = view.view[:3, :3]
-    bgx = dvx * r3[0, 0] + dvy * r3[1, 0] - r3[2, 0]
-    bgy = dvx * r3[0, 1] + dvy * r3[1, 1] - r3[2, 1]
-    bgz = dvx * r3[0, 2] + dvy * r3[1, 2] - r3[2, 2]
+    dvx = ndc_x / P(_P_PROJ00)
+    dvy = ndc_y / P(_P_PROJ11)
+    bgx = dvx * P(_P_VIEWR + 0) + dvy * P(_P_VIEWR + 3) - P(_P_VIEWR + 6)
+    bgy = dvx * P(_P_VIEWR + 1) + dvy * P(_P_VIEWR + 4) - P(_P_VIEWR + 7)
+    bgz = dvx * P(_P_VIEWR + 2) + dvy * P(_P_VIEWR + 5) - P(_P_VIEWR + 8)
 
     dx = jnp.where(valid, rx, bgx)
     dy = jnp.where(valid, ry, bgy)
     dz = jnp.where(valid, rz, bgz)
     rough = jnp.where(
         valid,
-        jnp.where(has, row(GB_ROUGHNESS) * _byte(w1, 3), row(GB_ROUGHNESS)),
+        jnp.where(
+            has, gbrow(GB_ROUGHNESS) * _byte(w1, 3), gbrow(GB_ROUGHNESS)
+        ),
         0.0,
     )
 
-    # ibl.sample_specular mode="nearest"
-    offs = spec_mip_offsets(env.spec_size, env.spec_mips)
-    lodr = jnp.clip(rough, 0.0, 1.0) * (env.spec_mips - 1)
+    # mip select + cube face/uv (ibl.dir_to_face_uv, component form)
+    lodr = jnp.clip(rough, 0.0, 1.0) * (spec_mips - 1)
     ks = jnp.round(lodr).astype(jnp.int32)
-    sizes = jnp.asarray(
-        [env.spec_size >> m for m in range(env.spec_mips)], jnp.int32
-    )
-    res = sizes[ks]
-    off = jnp.asarray(offs[:-1])[ks]
-    dirs = jnp.stack([dx, dy, dz], axis=-1)
-    from orbit_tpu.shade.ibl import dir_to_face_uv
+    offs = spec_mip_offsets(spec_size, spec_mips)
+    res = jnp.full_like(ks, spec_size)
+    off = jnp.zeros_like(ks)
+    for m in range(1, spec_mips):
+        res = jnp.where(ks == m, spec_size >> m, res)
+        off = jnp.where(ks == m, int(offs[m]), off)
 
-    face, u, v = dir_to_face_uv(dirs)
+    ax, ay, az = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+    is_x = (ax >= ay) & (ax >= az)
+    is_y = (~is_x) & (ay >= az)
+    face = jnp.where(
+        is_x,
+        jnp.where(dx >= 0, 0, 1),
+        jnp.where(
+            is_y, jnp.where(dy >= 0, 2, 3), jnp.where(dz >= 0, 4, 5)
+        ),
+    ).astype(jnp.int32)
+    ma = jnp.maximum(jnp.where(is_x, ax, jnp.where(is_y, ay, az)), 1e-20)
+    u = jnp.where(
+        is_x,
+        jnp.where(dx >= 0, -dz, dz),
+        jnp.where(is_y, dx, jnp.where(dz >= 0, dx, -dx)),
+    )
+    v = jnp.where(is_y, jnp.where(dy >= 0, dz, -dz), -dy)
+    u = (u / ma + 1.0) * 0.5
+    v = (v / ma + 1.0) * 0.5
     fres = res.astype(jnp.float32)
     sx = jnp.clip((u * fres).astype(jnp.int32), 0, res - 1)
     sy = jnp.clip((v * fres).astype(jnp.int32), 0, res - 1)
-    t_env = env.spec_data.shape[1]
-    saddr = face * t_env + off + sy * res + sx
-    spec = env.spec_data.reshape(-1, env.spec_data.shape[-1])[saddr]
+    return face * t_env + off + sy * res + sx
 
+
+def _tile_coords(ntp, tpx, ntx, tile_h, tile_w):
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (ntp, tpx), 0)
+    p_idx = jax.lax.broadcasted_iota(jnp.int32, (ntp, tpx), 1)
+    x = ((t_idx % ntx) * tile_w + p_idx % tile_w).astype(jnp.float32) + 0.5
+    y = (
+        (t_idx // ntx) * tile_h + p_idx // tile_w
+    ).astype(jnp.float32) + 0.5
+    return x, y
+
+
+def _ctex_addr_kernel(gb_ref, out_ref, *, tex_size, t4):
+    out_ref[...] = _ctex_addr_math(lambda r: gb_ref[r], tex_size, t4)
+
+
+def _spec_addr_kernel(
+    params_ref, gb_ref, depth_ref, words1_ref, out_ref,
+    *, ntx, tile_h, tile_w, W, H, spec_size, spec_mips, t_env,
+):
+    g = pl.program_id(0)
+    tpx = tile_h * tile_w
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (_GROUP, tpx), 0)
+    p_idx = jax.lax.broadcasted_iota(jnp.int32, (_GROUP, tpx), 1)
+    t = g * _GROUP + s_idx
+    x = ((t % ntx) * tile_w + p_idx % tile_w).astype(jnp.float32) + 0.5
+    y = ((t // ntx) * tile_h + p_idx // tile_w).astype(jnp.float32) + 0.5
+    w1 = jax.lax.bitcast_convert_type(words1_ref[...], jnp.uint32)
+    out_ref[...] = _spec_addr_math(
+        lambda i: params_ref[i], lambda r: gb_ref[r], depth_ref[...],
+        w1, x, y, W, H, spec_size, spec_mips, t_env,
+    )
+
+
+def _prepass(
+    assets, env, params, gb_rows, depth_t, ntx, tile_h, tile_w, H, W,
+    backend="xla", interpret=False,
+):
+    """Per-pixel texel fetches: ONE combined-texture texel + ONE
+    prefiltered-env texel (nearest filtering — the bench path). The
+    address math runs in Pallas kernels; only the two HBM gathers remain
+    in XLA (random gathers cost ~5 ns/row however issued). Returns
+    (words [4, ntp, tpx] f32-carried texels, spec [4, ntp, tpx])."""
+    ntp, tpx = depth_t.shape
+    tex_size = size_from_atlas(assets.ctex_data.shape[1])
+    t4 = assets.ctex_data.shape[1]
+    t_env = env.spec_data.shape[1]
+
+    if backend == "xla":
+        def gbrow(r):
+            return gb_rows[r]
+
+        addr = _ctex_addr_math(gbrow, tex_size, t4)
+        words = assets.ctex_data.reshape(-1, 4)[addr]  # [ntp, tpx, 4]
+        x, y = _tile_coords(ntp, tpx, ntx, tile_h, tile_w)
+        w1 = jax.lax.bitcast_convert_type(words[..., 1], jnp.uint32)
+        saddr = _spec_addr_math(
+            lambda i: params[i], gbrow, depth_t, w1, x, y, W, H,
+            env.spec_size, env.spec_mips, t_env,
+        )
+    else:
+        addr = pl.pallas_call(
+            functools.partial(
+                _ctex_addr_kernel, tex_size=tex_size, t4=t4
+            ),
+            grid=(ntp // _GROUP,),
+            in_specs=[
+                pl.BlockSpec(
+                    (GB_ROWS, _GROUP, tpx), lambda g: (0, g, 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec((_GROUP, tpx), lambda g: (g, 0)),
+            out_shape=jax.ShapeDtypeStruct((ntp, tpx), jnp.int32),
+            interpret=interpret,
+        )(gb_rows)
+        words = assets.ctex_data.reshape(-1, 4)[addr]
+        words1 = words[..., 1]
+        saddr = pl.pallas_call(
+            functools.partial(
+                _spec_addr_kernel, ntx=ntx, tile_h=tile_h, tile_w=tile_w,
+                W=W, H=H, spec_size=env.spec_size,
+                spec_mips=env.spec_mips, t_env=t_env,
+            ),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(ntp // _GROUP,),
+                in_specs=[
+                    pl.BlockSpec(
+                        (GB_ROWS, _GROUP, tpx), lambda g, p: (0, g, 0)
+                    ),
+                    pl.BlockSpec((_GROUP, tpx), lambda g, p: (g, 0)),
+                    pl.BlockSpec((_GROUP, tpx), lambda g, p: (g, 0)),
+                ],
+                out_specs=pl.BlockSpec((_GROUP, tpx), lambda g, p: (g, 0)),
+            ),
+            out_shape=jax.ShapeDtypeStruct((ntp, tpx), jnp.int32),
+            interpret=interpret,
+        )(params, gb_rows, depth_t, words1)
+
+    spec = env.spec_data.reshape(-1, env.spec_data.shape[-1])[saddr]
     words_r = jnp.moveaxis(words, -1, 0)  # [4, ntp, tpx]
     spec_r = jnp.moveaxis(spec, -1, 0)  # [4, ntp, tpx]
     return words_r, spec_r
@@ -503,11 +616,11 @@ def shade_deferred_tiled(
     from orbit_tpu.raster.layout import gbuf_tiles_to_rows
 
     gb_rows = gbuf_tiles_to_rows(gb_t, GB_ROWS)  # [GB, ntp, tpx]
-    words_r, spec_r = _prepass(
-        assets, env, view, gb_rows, depth_t, ntx, tile_h, tile_w,
-        height, width,
-    )
     params = _pack_params(scene, env, view, exposure, len(light_kinds))
+    words_r, spec_r = _prepass(
+        assets, env, params, gb_rows, depth_t, ntx, tile_h, tile_w,
+        height, width, backend=backend, interpret=interpret,
+    )
 
     if backend == "xla":
         t_idx = jax.lax.broadcasted_iota(jnp.int32, (ntp, tpx), 0)
