@@ -179,9 +179,15 @@ def checker_texture(size=256, tiles=8, c0=(200, 200, 200), c1=(40, 40, 40)):
     return img.astype(np.uint8)
 
 
-def noise_texture(size=256, seed=0, lo=0, hi=255):
+def noise_texture(size=256, seed=0, lo=0, hi=255, grayscale=False):
     rng = np.random.default_rng(seed)
-    base = rng.integers(lo, hi, (size // 8, size // 8, 3), dtype=np.uint8)
+    if grayscale:
+        v = rng.integers(lo, hi, (size // 8, size // 8, 1), dtype=np.uint8)
+        base = np.repeat(v, 3, axis=-1)
+    else:
+        base = rng.integers(
+            lo, hi, (size // 8, size // 8, 3), dtype=np.uint8
+        )
     reps = size // base.shape[0]
     return np.kron(base, np.ones((reps, reps, 1), np.uint8))
 
@@ -215,3 +221,27 @@ def gradient_envmap(width=128, height=64, seed=3):
         np.float32
     )
     return img
+
+
+def displaced_sphere(
+    radius=1.0, rings=64, sectors=128, seed=0, amp=0.15, freq=3.0,
+    octaves=4,
+) -> MeshData:
+    """High-poly 'rock/terrain' primitive: a uv-sphere displaced radially
+    by deterministic smooth trig noise (position-keyed, so the wrap seam
+    stays crack-free). The XL benchmark scenes use these for reference-
+    class unique-triangle density (Bistro-style organic geometry)."""
+    m = uv_sphere(radius, rings, sectors)
+    p = m.positions / radius
+    d = np.zeros(len(p), np.float64)
+    for o in range(octaves):
+        f = freq * (2.0 ** o)
+        ph = seed * 12.9898 + o * 7.77
+        d += (amp / (2.0 ** o)) * (
+            np.sin(f * p[:, 0] + 1.7 * np.cos(f * p[:, 2] + ph) + ph)
+            * np.cos(f * p[:, 1] - 1.3 * np.sin(f * p[:, 0] + 0.6 * ph))
+        )
+    pos = (m.positions * (1.0 + d)[:, None]).astype(np.float32)
+    out = MeshData(positions=pos, indices=m.indices, uvs=m.uvs)
+    out.finalize()  # recompute normals + tangents for the displaced surface
+    return out

@@ -97,10 +97,15 @@ class AssetStore:
         return i
 
     # -- meshes --------------------------------------------------------------
-    def add_mesh(self, mesh: MeshData, build_lods: bool = True) -> int:
+    def add_mesh(
+        self, mesh: MeshData, build_lods: bool = True,
+        lod_step: float = 0.8,
+    ) -> int:
         """Process + upload one mesh: dedupe, Morton sort, LOD chain,
         meshletize each LOD (reference: GpuAssets::add_mesh,
-        assets/mod.rs:325-476)."""
+        assets/mod.rs:325-476). lod_step: per-level triangle-count
+        factor (reference uses 0.8; dense high-poly content can use a
+        steeper step so distant instances cost far fewer meshlets)."""
         mesh = dedupe_vertices(mesh.finalize())
         v_base = self.num_vertices
         n_verts = len(mesh.positions)
@@ -122,7 +127,9 @@ class AssetStore:
         indices = tris.reshape(-1)
 
         lods = (
-            lod_mod.build_lod_chain(mesh.positions, indices, tri_mat, MAX_LODS)
+            lod_mod.build_lod_chain(
+                mesh.positions, indices, tri_mat, MAX_LODS, step=lod_step
+            )
             if build_lods
             else [(indices, tri_mat)]
         )

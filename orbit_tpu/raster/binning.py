@@ -124,7 +124,11 @@ def bin_meshlets(
     sorted_key = key[order]
     in_range = sorted_key < n_tiles * 1024
     pair_slot = jnp.where(in_range, slot[order], -1)
+    # 10-bit quantized (floor -> conservative) so the Pallas kernel can
+    # carry it inside the packed tq SMEM word; both backends consume the
+    # same dequantized value so early-z skipping stays bit-consistent
     pair_maxz = jnp.where(in_range, maxz_i[slot[order]], -1.0)
+    pair_maxz = jnp.floor(jnp.clip(pair_maxz, 0.0, 1.0) * 1023.0) / 1023.0
 
     # per-pair quarter-row range of the tile covered by the bbox
     if tile_h % 4 == 0:

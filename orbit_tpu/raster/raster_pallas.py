@@ -37,12 +37,32 @@ from orbit_tpu.raster.kernel_common import (
 )
 
 _GROUP = 8  # tiles per framebuffer block
+# one pallas_call's scalar-prefetch arrays must fit the 1 MB SMEM budget;
+# larger pair capacities run as a chain of calls over stream chunks
+_MAX_PAIRS_PER_CALL = 49152
+
+
+def _slice_bins(bins: BinLists, s: slice) -> BinLists:
+    """Chunk view of the pair stream (per-tile ranges unused here)."""
+    import dataclasses
+
+    return dataclasses.replace(
+        bins,
+        pair_slot=bins.pair_slot[s],
+        pair_tile=bins.pair_tile[s],
+        pair_maxz=bins.pair_maxz[s],
+        pair_qr=bins.pair_qr[s],
+    )
 
 
 def _pair_meta(bins: BinLists, P: int):
-    """Pack per-pair scalars: meta = slot<<3 | first_tile<<2 |
-    first_group<<1 | valid, plus the forward-filled tile stream (padding
-    pairs revisit the last real tile so the out-block index stays put)."""
+    """Pack per-pair scalars into TWO SMEM arrays (prefetch SMEM is 1 MB;
+    at 64k-pair capacity every word counts):
+      meta = slot<<3 | first_tile<<2 | first_group<<1 | valid
+      tq   = forward-filled tile | qr<<18 | maxz_q<<22  (padding pairs
+             revisit the last real tile so the out-block index stays
+             put; maxz_q is the binner's 10-bit quantized early-z bound)
+    """
     pvalid = bins.pair_tile >= 0
     filled_tile = jax.lax.cummax(jnp.where(pvalid, bins.pair_tile, -1))
     filled_tile = jnp.maximum(filled_tile, 0)
@@ -60,14 +80,20 @@ def _pair_meta(bins: BinLists, P: int):
         | (first_group.astype(jnp.int32) << 1)
         | pvalid.astype(jnp.int32)
     )
-    return meta, filled_tile
+    maxz_q = jnp.round(
+        jnp.clip(bins.pair_maxz, 0.0, 1.0) * 1023.0
+    ).astype(jnp.int32)
+    tq = filled_tile | (bins.pair_qr << 18) | (maxz_q << 22)
+    return meta, tq
 
 
 def _kernel(
-    meta_ref, tile_ref, maxz_ref, rowoff_ref, qr_ref, setup_ref,
-    init_d_ref, init_v_ref, depth_ref, vis_ref, cur_min_ref,
+    meta_ref, tq_ref, rowoff_ref, setup_ref,
+    init_d_ref, init_v_ref,  # aliased to depth_ref/vis_ref (unused)
+    depth_ref, vis_ref, cur_min_ref,
     *, tile_h, tile_w, ntx, vis_base_offset, pack,
 ):
+    del init_d_ref, init_v_ref
     p = pl.program_id(0)
     tpx = tile_h * tile_w
     n_chunks = 4 if tile_h % 4 == 0 else 1
@@ -80,31 +106,32 @@ def _kernel(
         i = p * pack + j
         m = meta_ref[i]
         valid = (m & 1) == 1
-        first_group = (m & 2) != 0
         first_tile = (m & 4) != 0
         slot = m >> 3
 
-        @pl.when(first_group)
-        def _():
-            depth_ref[...] = init_d_ref[...]
-            vis_ref[...] = init_v_ref[...]
+        # framebuffer blocks are input-output ALIASED to the init
+        # buffers: the kernel reads/updates them in place, untouched
+        # groups keep the init content, and no per-group copy is needed
 
-        tile = tile_ref[i]
+        tq = tq_ref[i]
+        tile = tq & 0x3FFFF
         r = tile % _GROUP
 
         # tile's running min depth (SMEM scalar): the early-z reference.
-        # Reset at each tile's first pair AFTER the group init above —
-        # for a late pass this starts at the early pass's depth, so
-        # fully-occluded pairs skip even before drawing anything.
+        # Reset at each tile's first pair — for a late pass this starts
+        # at the early pass's depth, so fully-occluded pairs skip early.
         @pl.when(valid & first_tile)
         def _():
             cur_min_ref[0, 0] = jnp.min(depth_ref[pl.ds(r, 1), :])
 
         # early-z skip: if this meshlet's conservative nearest depth
         # cannot beat the tile's farthest pixel, nothing can win
-        active = valid & (maxz_ref[i] > cur_min_ref[0, 0])
+        maxz = (
+            ((tq >> 22) & 1023).astype(jnp.float32) * (1.0 / 1023.0)
+        )
+        active = valid & (maxz > cur_min_ref[0, 0])
 
-        qr = qr_ref[i]
+        qr = (tq >> 18) & 15
         q0 = qr // 4
         q1 = qr % 4
         ty = (tile // ntx + rowoff_ref[0]).astype(jnp.float32)
@@ -218,7 +245,6 @@ def rasterize_pallas(
         init_d = to_tiles(init[0])
         init_v = to_tiles(init[1])
 
-    meta, filled_tile = _pair_meta(bins, P)
     rowoff = jnp.full((1,), tile_row_offset, jnp.int32)
     pack = pairs_per_step
     assert P % pack == 0, f"pair capacity {P} not divisible by {pack}"
@@ -226,17 +252,28 @@ def rasterize_pallas(
     # stream sequentially with no data-dependent gather index maps
     setup_pairs = setup[jnp.maximum(bins.pair_slot, 0)]  # [P, 64, 12]
 
+    # the prefetch SMEM budget (1 MB) caps one call at ~64k pairs; larger
+    # capacities run as a chain of calls over stream chunks, each aliased
+    # in-place onto the running framebuffer (raster is order-compositing,
+    # so chunk boundaries — even mid-tile — are transparent)
+    chunk = P if P <= _MAX_PAIRS_PER_CALL else _MAX_PAIRS_PER_CALL
+    assert P % chunk == 0, (
+        f"pair capacity {P} must be a multiple of {chunk} for chaining"
+    )
+
     fb_spec = pl.BlockSpec(
         (_GROUP, tpx),
-        lambda p, meta, tile, maxz, ro, qr: (tile[p * pack] // _GROUP, 0),
+        lambda p, meta, tq, ro: (
+            (tq[p * pack] & 0x3FFFF) // _GROUP, 0
+        ),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
-        grid=(P // pack,),
+        num_scalar_prefetch=3,
+        grid=(chunk // pack,),
         in_specs=[
             pl.BlockSpec(
                 (pack, 64, 12),
-                lambda p, meta, tile, maxz, ro, qr: (p, 0, 0),
+                lambda p, meta, tq, ro: (p, 0, 0),
             ),
             fb_spec,
             fb_spec,
@@ -245,44 +282,45 @@ def rasterize_pallas(
         scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
     )
 
-    depth_t, vis_t = pl.pallas_call(
-        functools.partial(
-            _kernel,
-            tile_h=tile_h,
-            tile_w=tile_w,
-            ntx=ntx,
-            vis_base_offset=vis_base_offset,
-            pack=pack,
-        ),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_tiles_pad, tpx), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles_pad, tpx), jnp.int32),
-        ],
-        interpret=interpret,
-    )(
-        meta, filled_tile, bins.pair_maxz, rowoff, bins.pair_qr,
-        setup_pairs, init_d, init_v,
-    )
-    pvalid = bins.pair_tile >= 0
-
-    # tiles whose GROUP no pair ever visited hold garbage: restore init
-    group_ids = jnp.arange(n_tiles_pad, dtype=jnp.int32) // _GROUP
-    visited_groups = jnp.zeros((n_tiles_pad // _GROUP,), bool).at[
-        jnp.where(pvalid, filled_tile // _GROUP, n_tiles_pad // _GROUP)
-    ].set(True, mode="drop")
-    occupied = visited_groups[group_ids][:, None]
-    depth_t = jnp.where(occupied, depth_t, init_d)
-    vis_t = jnp.where(occupied, vis_t, init_v)
+    # the framebuffer inputs are ALIASED to the outputs: raster updates
+    # them in place and untouched tile groups keep their init content
+    depth_t, vis_t = init_d, init_v
+    for c in range(P // chunk):
+        s = slice(c * chunk, (c + 1) * chunk)
+        # per-chunk metadata: each call's first pair of a tile re-reads
+        # the running tile min (the cur_min scratch starts cold per call)
+        meta, tq = _pair_meta(_slice_bins(bins, s), chunk)
+        depth_t, vis_t = pl.pallas_call(
+            functools.partial(
+                _kernel,
+                tile_h=tile_h,
+                tile_w=tile_w,
+                ntx=ntx,
+                vis_base_offset=vis_base_offset,
+                pack=pack,
+            ),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((n_tiles_pad, tpx), jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles_pad, tpx), jnp.int32),
+            ],
+            input_output_aliases={4: 0, 5: 1},
+            interpret=interpret,
+        )(
+            meta, tq, rowoff,
+            setup_pairs[s], depth_t, vis_t,
+        )
     return from_tiles(depth_t), from_tiles(vis_t)
 
 
 def _gbuffer_kernel(
-    meta_ref, tile_ref, maxz_ref, rowoff_ref, qr_ref, setup_ref,
-    attrs_ref, init_d_ref, init_v_ref, init_g_ref, depth_ref, vis_ref,
+    meta_ref, tq_ref, rowoff_ref, setup_ref,
+    attrs_ref, init_d_ref, init_v_ref, init_g_ref,  # aliased (unused)
+    depth_ref, vis_ref,
     gb_ref, cur_min_ref, won_ref, bt_s, win_s,
     *, tile_h, tile_w, ntx, vis_base_offset, pack,
 ):
+    del init_d_ref, init_v_ref, init_g_ref
     p = pl.program_id(0)
     tpx = tile_h * tile_w
     n_chunks = 4 if tile_h % 4 == 0 else 1
@@ -293,17 +331,14 @@ def _gbuffer_kernel(
         i = p * pack + j
         m = meta_ref[i]
         valid = (m & 1) == 1
-        first_group = (m & 2) != 0
         first_tile = (m & 4) != 0
         slot = m >> 3
 
-        @pl.when(first_group)
-        def _():
-            depth_ref[...] = init_d_ref[...]
-            vis_ref[...] = init_v_ref[...]
-            gb_ref[...] = init_g_ref[...]
+        # framebuffer blocks are input-output ALIASED to the init
+        # buffers (in-place update; untouched groups keep init content)
 
-        tile = tile_ref[i]
+        tq = tq_ref[i]
+        tile = tq & 0x3FFFF
         r = tile % _GROUP
 
         @pl.when(valid & first_tile)
@@ -314,9 +349,12 @@ def _gbuffer_kernel(
         # pairs fully occluded by already-drawn geometry skip everything
         # — including the attribute phase and the overdraw coverage,
         # exactly as a hardware early-Z test discards their fragments
-        active = valid & (maxz_ref[i] > cur_min_ref[0, 0])
+        maxz = (
+            ((tq >> 22) & 1023).astype(jnp.float32) * (1.0 / 1023.0)
+        )
+        active = valid & (maxz > cur_min_ref[0, 0])
 
-        qr = qr_ref[i]
+        qr = (tq >> 18) & 15
         q0 = qr // 4
         q1 = qr % 4
         ty = (tile // ntx + rowoff_ref[0]).astype(jnp.float32)
@@ -519,7 +557,6 @@ def rasterize_pallas_gbuffer(
         g = to_tiles(init[2])  # [GB, n_tiles_pad, tpx]
         init_g = g.transpose(1, 0, 2).reshape(n_tiles_pad * GB_ROWS, tpx)
 
-    meta, filled_tile = _pair_meta(bins, P)
     rowoff = jnp.full((1,), tile_row_offset, jnp.int32)
     pack = pairs_per_step
     assert P % pack == 0, f"pair capacity {P} not divisible by {pack}"
@@ -531,23 +568,32 @@ def rasterize_pallas_gbuffer(
 
     fb_spec = pl.BlockSpec(
         (_GROUP, tpx),
-        lambda p, meta, tile, maxz, ro, qr: (tile[p * pack] // _GROUP, 0),
+        lambda p, meta, tq, ro: (
+            (tq[p * pack] & 0x3FFFF) // _GROUP, 0
+        ),
     )
     gb_spec = pl.BlockSpec(
         (_GROUP * GB_ROWS, tpx),
-        lambda p, meta, tile, maxz, ro, qr: (tile[p * pack] // _GROUP, 0),
+        lambda p, meta, tq, ro: (
+            (tq[p * pack] & 0x3FFFF) // _GROUP, 0
+        ),
     )
+    chunk = P if P <= _MAX_PAIRS_PER_CALL else _MAX_PAIRS_PER_CALL
+    assert P % chunk == 0, (
+        f"pair capacity {P} must be a multiple of {chunk} for chaining"
+    )
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
-        grid=(P // pack,),
+        num_scalar_prefetch=3,
+        grid=(chunk // pack,),
         in_specs=[
             pl.BlockSpec(
                 (pack, 64, 12),
-                lambda p, meta, tile, maxz, ro, qr: (p, 0, 0),
+                lambda p, meta, tq, ro: (p, 0, 0),
             ),
             pl.BlockSpec(
                 (pack, AC_ROWS, 64),
-                lambda p, meta, tile, maxz, ro, qr: (p, 0, 0),
+                lambda p, meta, tq, ro: (p, 0, 0),
             ),
             fb_spec,
             fb_spec,
@@ -562,37 +608,33 @@ def rasterize_pallas_gbuffer(
         ],
     )
 
-    depth_t, vis_t, gb_t = pl.pallas_call(
-        functools.partial(
-            _gbuffer_kernel,
-            tile_h=tile_h,
-            tile_w=tile_w,
-            ntx=ntx,
-            vis_base_offset=vis_base_offset,
-            pack=pack,
-        ),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_tiles_pad, tpx), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles_pad, tpx), jnp.int32),
-            jax.ShapeDtypeStruct((n_tiles_pad * GB_ROWS, tpx), jnp.float32),
-        ],
-        interpret=interpret,
-    )(
-        meta, filled_tile, bins.pair_maxz, rowoff, bins.pair_qr,
-        setup_pairs, attrs_pairs, init_d, init_v, init_g,
-    )
-    pvalid = bins.pair_tile >= 0
-
-    group_ids = jnp.arange(n_tiles_pad, dtype=jnp.int32) // _GROUP
-    visited_groups = jnp.zeros((n_tiles_pad // _GROUP,), bool).at[
-        jnp.where(pvalid, filled_tile // _GROUP, n_tiles_pad // _GROUP)
-    ].set(True, mode="drop")
-    occ = visited_groups[group_ids][:, None]
-    depth_t = jnp.where(occ, depth_t, init_d)
-    vis_t = jnp.where(occ, vis_t, init_v)
-    occ_g = jnp.repeat(occ, GB_ROWS, axis=0)
-    gb_t = jnp.where(occ_g, gb_t, init_g)
+    depth_t, vis_t, gb_t = init_d, init_v, init_g
+    for c in range(P // chunk):
+        s = slice(c * chunk, (c + 1) * chunk)
+        meta, tq = _pair_meta(_slice_bins(bins, s), chunk)
+        depth_t, vis_t, gb_t = pl.pallas_call(
+            functools.partial(
+                _gbuffer_kernel,
+                tile_h=tile_h,
+                tile_w=tile_w,
+                ntx=ntx,
+                vis_base_offset=vis_base_offset,
+                pack=pack,
+            ),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((n_tiles_pad, tpx), jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles_pad, tpx), jnp.int32),
+                jax.ShapeDtypeStruct(
+                    (n_tiles_pad * GB_ROWS, tpx), jnp.float32
+                ),
+            ],
+            input_output_aliases={5: 0, 6: 1, 7: 2},
+            interpret=interpret,
+        )(
+            meta, tq, rowoff,
+            setup_pairs[s], attrs_pairs[s], depth_t, vis_t, gb_t,
+        )
 
     if tiled_io:
         return depth_t, vis_t, gb_t

@@ -27,7 +27,11 @@ from orbit_tpu.scene import (
 
 def _std_textures(store: AssetStore, seed=0):
     t_check = store.add_texture(proc.checker_texture(256, tiles=16), srgb=True)
-    t_noise = store.add_texture(proc.noise_texture(256, seed=seed), srgb=True)
+    # mild grayscale-variation noise (RGB noise reads as confetti)
+    t_noise = store.add_texture(
+        proc.noise_texture(256, seed=seed, lo=110, hi=200, grayscale=True),
+        srgb=True,
+    )
     t_flat_n = store.add_texture(proc.normal_map_flat(64), srgb=False)
     return t_check, t_noise, t_flat_n
 
@@ -253,8 +257,189 @@ def bistro_scene(buildings: int = 48, props: int = 220, seed: int = 2,
     return store, sb
 
 
+def bistro_xl_scene(seed: int = 2):
+    """Reference-class content: the XL street scene. Unique LOD0 geometry
+    >= 1.2M triangles / ~20k meshlets (the reference Bistro exterior is
+    ~3M tris); with the 0.8x LOD chains the asset store carries 60-80k
+    meshlets; ~5.5k entities instancing ~40M triangles of scene content.
+    Deep occlusion along the street + organic high-poly rocks/canopies."""
+    rng = np.random.default_rng(seed)
+    store = AssetStore(
+        AssetCaps(
+            vertices=1 << 21, meshlets=90_000, meshes=64,
+            materials=32, texture_layers=16, texture_size=256,
+        )
+    )
+    t_check, t_noise, t_n = _std_textures(store, seed)
+    mats = dict(
+        road=store.add_material(
+            base_color=(0.35, 0.35, 0.36, 1), roughness=0.95,
+            base_color_tex=t_noise,
+        ),
+        facade=store.add_material(
+            base_color=(0.72, 0.62, 0.52, 1), roughness=0.8,
+            base_color_tex=t_check,
+        ),
+        facade2=store.add_material(
+            base_color=(0.6, 0.58, 0.55, 1), roughness=0.75,
+            base_color_tex=t_noise,
+        ),
+        rock=store.add_material(
+            base_color=(0.45, 0.42, 0.4, 1), roughness=0.95,
+            base_color_tex=t_noise,
+        ),
+        trunk=store.add_material(
+            base_color=(0.35, 0.25, 0.15, 1), roughness=0.9
+        ),
+        leaves=store.add_material(
+            base_color=(0.2, 0.45, 0.15, 1), roughness=0.8,
+            base_color_tex=t_noise,
+        ),
+        metal=store.add_material(
+            base_color=(0.6, 0.6, 0.62, 1), metallic=1.0, roughness=0.3
+        ),
+        awning=store.add_material(
+            base_color=(0.7, 0.15, 0.12, 1), roughness=0.6
+        ),
+    )
+
+    # ground as a chunk grid: one giant plane entity would pin LOD 0 for
+    # the whole 260m (its bounding sphere touches the camera) and its
+    # near meshlets alone cover hundreds of screen tiles; 20m chunks let
+    # distance LOD + frustum/occlusion culling work per chunk
+    ground = proc.plane(20.0, segments=10)
+    ground.material = mats["road"]
+    g = store.add_mesh(ground, lod_step=0.55)
+
+    # 14 high-poly "tower" variants (displaced spheres, scaled boxy)
+    towers = []
+    for i in range(14):
+        t = proc.displaced_sphere(
+            1.0, rings=128, sectors=256, seed=10 + i,
+            amp=0.1, freq=2.0 + 0.3 * (i % 5),
+        )
+        t.material = mats["facade" if i % 2 == 0 else "facade2"]
+        towers.append(store.add_mesh(t, lod_step=0.55))
+    # 8 canopy variants
+    canopies = []
+    for i in range(8):
+        c = proc.displaced_sphere(
+            1.0, rings=80, sectors=160, seed=40 + i, amp=0.3, freq=4.0
+        )
+        c.material = mats["leaves"]
+        canopies.append(store.add_mesh(c, lod_step=0.55))
+    # 8 rock variants
+    rocks = []
+    for i in range(8):
+        r = proc.displaced_sphere(
+            1.0, rings=56, sectors=112, seed=70 + i, amp=0.35, freq=3.0
+        )
+        r.material = mats["rock"]
+        rocks.append(store.add_mesh(r, lod_step=0.55))
+    trunk = proc.cylinder(0.2, 3.0, sectors=24)
+    trunk.material = mats["trunk"]
+    tr = store.add_mesh(trunk, lod_step=0.55)
+    sphere_hi = proc.uv_sphere(0.5, rings=48, sectors=96)
+    sphere_hi.material = mats["metal"]
+    sh = store.add_mesh(sphere_hi, lod_step=0.55)
+    ring = proc.torus(0.6, 0.18, rings=96, sides=48)
+    ring.material = mats["awning"]
+    rg = store.add_mesh(ring, lod_step=0.55)
+    pole = proc.cylinder(0.08, 4.0, sectors=12)
+    pole.material = mats["metal"]
+    pl = store.add_mesh(pole, lod_step=0.55)
+
+    sb = SceneBuilder(entity_capacity=8192, light_capacity=64)
+    for gx in range(-6, 7):
+        for gz in range(-3, 4):
+            sb.add_entity(g, translation=(gx * 20.0, 0.0, gz * 20.0))
+    # two dense building rows along a bending street (deep occlusion)
+    n_buildings = 130
+    for i in range(n_buildings):
+        side = -1 if i % 2 == 0 else 1
+        t = (i // 2) / max(n_buildings // 2 - 1, 1)
+        x = -110 + t * 220
+        z = side * float(rng.uniform(9, 15)) + np.sin(t * 4.0) * 5.0
+        w = float(rng.uniform(5, 10))
+        h = float(rng.uniform(7, 18))
+        d = float(rng.uniform(5, 9))
+        sb.add_entity(
+            towers[i % len(towers)], translation=(x, h * 0.45, z),
+            scale=(w, h, d),
+        )
+    # back rows (occluded most of the time — culling fodder)
+    for i in range(120):
+        side = -1 if i % 2 == 0 else 1
+        t = (i // 2) / 59.0
+        x = -110 + t * 220
+        z = side * float(rng.uniform(22, 34))
+        h = float(rng.uniform(6, 14))
+        sb.add_entity(
+            towers[(i * 7) % len(towers)], translation=(x, h * 0.45, z),
+            scale=(float(rng.uniform(5, 9)), h, float(rng.uniform(5, 9))),
+        )
+    # trees: trunk + canopy, lining the street (clear of the fly path:
+    # a camera inside a canopy turns every leaf meshlet into a
+    # near-plane-crossing wedge that bins to half the screen)
+    for i in range(800):
+        t = rng.uniform()
+        x = -110 + t * 220
+        side = -1.0 if i % 2 == 0 else 1.0
+        z = side * float(rng.uniform(4.5, 7.5)) + np.sin(t * 4.0) * 5.0
+        s = float(rng.uniform(1.0, 1.6))
+        sb.add_entity(tr, translation=(x, 1.5 * s, z), scale=s)
+        sb.add_entity(
+            canopies[i % len(canopies)],
+            translation=(x, 4.6 * s, z), scale=1.5 * s,
+        )
+    # props: rocks, spheres, rings, poles
+    for i in range(3200):
+        t = rng.uniform()
+        x = -110 + t * 220
+        z = float(rng.uniform(-8, 8)) + np.sin(t * 4.0) * 5.0
+        kind = i % 4
+        if kind == 0:
+            s = float(rng.uniform(0.2, 0.9))
+            sb.add_entity(
+                rocks[i % len(rocks)], translation=(x, s * 0.5, z), scale=s
+            )
+        elif kind == 1:
+            sb.add_entity(sh, translation=(x, 0.5, z))
+        elif kind == 2:
+            sb.add_entity(rg, translation=(x, 0.8, z))
+        else:
+            sb.add_entity(pl, translation=(x, 2.0, z))
+
+    sb.add_light(LIGHT_SKY, intensity=0.7)
+    sb.add_light(
+        LIGHT_DIRECTIONAL, direction=(0.4, 0.8, 0.3),
+        color=(1.0, 0.95, 0.85), intensity=3.0, inner_radius=0.5,
+    )
+    return store, sb
+
+
+def bistro_flythrough(i: int, n: int = 30):
+    """Fly-through with real rotation + reveal events for frame i of n:
+    the eye advances along the street while the view direction yaws from
+    side to side, so meshlets stream in and out of both the frustum and
+    the two-pass occlusion visibility set every frame."""
+    t = i / max(n - 1, 1)
+    x = -95.0 + 120.0 * t
+    yaw = 0.9 * np.sin(t * 2.5 * np.pi)  # +-0.9 rad sweep
+    # stay on the street centerline between the tree rows (|z| >= 4.5)
+    eye = (x + 5.0 * np.sin(t * 4.0), 2.3 + 0.4 * np.sin(t * 4.0),
+           1.0 * np.sin(t * 6.0))
+    look = (
+        eye[0] + 30.0 * np.cos(yaw),
+        2.0 + 1.2 * np.sin(t * 3.0),
+        30.0 * np.sin(yaw),
+    )
+    return eye, look
+
+
 BENCH_CAMERAS = {
     "helmet": dict(eye=(0.0, 0.3, 3.0), target=(0.0, 0.0, 0.0)),
     "sponza": dict(eye=(-14.0, 2.2, 0.0), target=(10.0, 2.0, 0.5)),
     "bistro": dict(eye=(-48.0, 2.5, 0.0), target=(20.0, 1.5, 1.0)),
+    "bistro_xl": dict(eye=(-95.0, 2.5, 0.0), target=(-65.0, 2.0, 0.0)),
 }
