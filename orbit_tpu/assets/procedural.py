@@ -245,3 +245,23 @@ def displaced_sphere(
     out = MeshData(positions=pos, indices=m.indices, uvs=m.uvs)
     out.finalize()  # recompute normals + tangents for the displaced surface
     return out
+
+
+def leaf_texture(size=256, seed=0):
+    """Foliage card texture: green leaf blobs on a transparent ground
+    (alpha-MASKED materials cut the gaps out at raster time)."""
+    rng = np.random.default_rng(seed)
+    img = np.zeros((size, size, 4), np.uint8)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    alpha = np.zeros((size, size), np.float32)
+    for _ in range(60):
+        cx, cy = rng.uniform(0, size, 2)
+        rx = rng.uniform(size * 0.04, size * 0.1)
+        ry = rx * rng.uniform(0.5, 1.0)
+        d = ((xx - cx) / rx) ** 2 + ((yy - cy) / ry) ** 2
+        alpha = np.maximum(alpha, (d < 1.0).astype(np.float32))
+    img[..., 0] = 40
+    img[..., 1] = rng.integers(120, 190, (size, size), dtype=np.uint8)
+    img[..., 2] = 30
+    img[..., 3] = (alpha * 255).astype(np.uint8)
+    return img

@@ -220,6 +220,44 @@ class AssetStore:
             h["ctex_data"][n_c] = c
             h["mat_ctex"][m] = n_c
             n_c += 1
+        self._bake_alpha_masks()
+
+    def _bake_alpha_masks(self):
+        """Bake each MASKED material's thresholded alpha into the small
+        VMEM-resident bitmap the rasterizer tests winners against
+        (reference alpha test: forward_depth_prepass.frag:35-57)."""
+        from orbit_tpu.assets.types import (
+            ALPHA_MASK_CAP,
+            ALPHA_MASK_RES,
+            ALPHA_MODE_MASKED,
+        )
+
+        h = self.h
+        R = ALPHA_MASK_RES
+        n = 0
+        for m in range(self.num_materials):
+            if h["mat_alpha_mode"][m] != ALPHA_MODE_MASKED:
+                continue
+            assert n < ALPHA_MASK_CAP, "alpha mask capacity exceeded"
+            cutoff = float(h["mat_alpha_cutoff"][m])
+            base_a = float(h["mat_base_color"][m, 3])
+            tex = h["mat_tex"][m, 0]  # base-color slot
+            if tex >= 0:
+                S = self.caps.texture_size
+                a = (
+                    h["tex_data"][tex][: S * S, 3]
+                    .reshape(S, S)
+                    .astype(np.float32)
+                    / 255.0
+                )
+                blk = S // R
+                a = a.reshape(R, blk, R, blk).mean(axis=(1, 3))
+            else:
+                a = np.ones((R, R), np.float32)
+            mask = (a * base_a >= cutoff).astype(np.float32)
+            h["alpha_masks"][n * R : (n + 1) * R, :R] = mask
+            h["mat_mask_slot"][m] = n
+            n += 1
 
     # -- upload ---------------------------------------------------------------
     def to_device(self, device=None) -> tuple[AssetArrays, AssetMeta]:
@@ -239,6 +277,7 @@ class AssetStore:
             num_meshes=self.num_meshes,
             num_materials=self.num_materials,
             num_texture_layers=self.num_texture_layers,
+            has_alpha_masks=bool((self.h["mat_mask_slot"] >= 0).any()),
             caps=self.caps,
         )
         return arrays, meta

@@ -25,6 +25,14 @@ ALPHA_MODE_OPAQUE = 0
 ALPHA_MODE_MASKED = 1
 ALPHA_MODE_TRANSPARENT = 2
 
+# alpha-test masks: masked materials bake their thresholded base-texture
+# alpha into a small VMEM-resident bitmap the rasterizer consults at
+# winner-select time (reference: forward_depth_prepass.frag:35-57 /
+# shadow.frag:23-38 sample the full texture per fragment; a 64x64 mask
+# is the TPU-native budget — it must live in VMEM for every raster step)
+ALPHA_MASK_RES = 64
+ALPHA_MASK_CAP = 16
+
 # material texture slots (reference: GpuMaterialData descriptor indices)
 TEX_BASE_COLOR = 0
 TEX_NORMAL = 1
@@ -69,6 +77,7 @@ class AssetMeta:
     num_meshes: int = 0
     num_materials: int = 0
     num_texture_layers: int = 0
+    has_alpha_masks: bool = False  # any MASKED material baked a mask
     caps: AssetCaps = field(default_factory=AssetCaps)
 
 
@@ -180,6 +189,8 @@ class AssetArrays:
     mat_tex: jax.Array
     mat_alpha_mode: jax.Array
     mat_alpha_cutoff: jax.Array
+    mat_mask_slot: jax.Array
+    alpha_masks: jax.Array
 
     tex_data: jax.Array
     tex_srgb: jax.Array
@@ -218,6 +229,11 @@ def empty_asset_numpy(caps: AssetCaps) -> dict:
         mat_tex=np.full((Ma, NUM_TEX_SLOTS), -1, np.int32),
         mat_alpha_mode=np.zeros((Ma,), np.int32),
         mat_alpha_cutoff=np.full((Ma,), 0.5, np.float32),
+        mat_mask_slot=np.full((Ma,), -1, np.int32),
+        # [CAP*RES, 128] f32 0/1 (lanes padded 64->128 for the kernel)
+        alpha_masks=np.zeros(
+            (ALPHA_MASK_CAP * ALPHA_MASK_RES, 128), np.float32
+        ),
         tex_data=np.zeros((L, atlas_texels(S), 4), np.uint8),
         tex_srgb=np.zeros((L,), bool),
         ctex_data=np.zeros((L, atlas_texels(S), 16), np.uint8),

@@ -72,27 +72,34 @@ def aabb_segments(aabb_min, aabb_max):
 
 
 def sphere_segments(center, radius, segments: int = 24):
-    """3 orthogonal great circles (debug_renderer.rs draw_sphere)."""
-    c = np.asarray(center, np.float32)
-    t = np.linspace(0, 2 * np.pi, segments + 1)
+    """3 orthogonal great circles (debug_renderer.rs draw_sphere).
+
+    Traceable: center/radius may be jax arrays (in-frame overlays)."""
+    c = jnp.asarray(center, jnp.float32)
+    t = np.linspace(0, 2 * np.pi, segments + 1, dtype=np.float32)
+    eye = np.eye(3, dtype=np.float32)
     out = []
-    for axes in [(0, 1), (0, 2), (1, 2)]:
-        ring = np.tile(c, (segments + 1, 1))
-        ring[:, axes[0]] += radius * np.cos(t)
-        ring[:, axes[1]] += radius * np.sin(t)
-        out.append(np.stack([ring[:-1], ring[1:]], axis=1))
-    return np.concatenate(out).astype(np.float32)
+    for a0, a1 in [(0, 1), (0, 2), (1, 2)]:
+        ring = c[None, :] + radius * (
+            np.cos(t)[:, None] * eye[a0] + np.sin(t)[:, None] * eye[a1]
+        )
+        out.append(jnp.stack([ring[:-1], ring[1:]], axis=1))
+    return jnp.concatenate(out)
 
 
 def frustum_segments(view_proj):
-    """12 edges of a camera frustum (debug_renderer.rs draw_frustum)."""
-    corners = np.asarray(frustum_corners_from_matrix(jnp.asarray(view_proj)))
-    edges = [
-        (0, 1), (1, 2), (2, 3), (3, 0),
-        (4, 5), (5, 6), (6, 7), (7, 4),
-        (0, 4), (1, 5), (2, 6), (3, 7),
-    ]
-    return np.stack([corners[list(e)] for e in edges]).astype(np.float32)
+    """12 edges of a camera frustum (debug_renderer.rs draw_frustum).
+
+    Traceable: view_proj may be a jax array."""
+    corners = frustum_corners_from_matrix(jnp.asarray(view_proj))
+    edges = np.array(
+        [
+            (0, 1), (1, 2), (2, 3), (3, 0),
+            (4, 5), (5, 6), (6, 7), (7, 4),
+            (0, 4), (1, 5), (2, 6), (3, 7),
+        ]
+    )
+    return jnp.asarray(corners)[edges]
 
 
 def cross_segments(center, size: float = 0.5):

@@ -119,10 +119,15 @@ def render_shadow_cascades(
     settings: ShadowSettings,
     raster_cfg: Optional[RasterConfig] = None,
     instance_capacity: int = 1 << 13,
+    use_alpha: bool = False,
 ) -> ShadowMaps:
     """Depth-only render per cascade through the standard cull+raster path
     (the reference reuses its meshlet pipeline identically,
-    shadow_renderer.rs:341-430)."""
+    shadow_renderer.rs:341-430).
+
+    use_alpha: scenes with MASKED materials render cascades through the
+    G-buffer rasterizer so cutouts punch holes in the shadow maps
+    (reference: shadow.frag:23-38 alpha-cutoff discard)."""
     S = settings.resolution
     cfg = raster_cfg or RasterConfig()
     maps, mats, sizes = [], [], []
@@ -151,9 +156,16 @@ def render_shadow_cascades(
         )
         geom = process_geometry(
             assets, im, scene.entity_model[ie], view.view_proj, S, S,
-            inst_valid=draw_m, with_attrs=False,
+            inst_valid=draw_m, with_attrs=use_alpha,
         )
-        depth, _, _ = rasterize(geom, S, S, cfg)
+        if use_alpha:
+            from orbit_tpu.raster import rasterize_gbuffer
+
+            depth, _, _, _ = rasterize_gbuffer(
+                geom, S, S, cfg, alpha_masks=assets.alpha_masks
+            )
+        else:
+            depth, _, _ = rasterize(geom, S, S, cfg)
         maps.append(depth)
         mats.append(view.view_proj)
         sizes.append(radius * 2.0)

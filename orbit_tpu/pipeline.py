@@ -43,6 +43,7 @@ from orbit_tpu.math.color import srgb_to_linear, uint_hash
 from orbit_tpu.passes import post as post_mod
 from orbit_tpu.passes import shadow as shadow_mod
 from orbit_tpu.passes.bloom import BloomSettings as BloomSettings_t
+from orbit_tpu.passes.debug_overlay import DebugSettings as DebugSettings_t
 from orbit_tpu.passes.cluster import ClusterSettings as ClusterSettings_t
 from orbit_tpu.passes.ssao import SsaoSettings as SsaoSettings_t
 from orbit_tpu.raster import (
@@ -119,6 +120,9 @@ class PipelineConfig:
     texture_filter: str = "nearest"  # nearest | bilinear | trilinear
     env_filter: str = "nearest"  # nearest | nearest_mip | trilinear
     supersample: int = 1  # SSAA factor (the TPU MSAA: k*k shading samples)
+    # in-frame debug overlays (bounding spheres / frustum / cascades /
+    # wireframe), composited onto the final image inside the jitted frame
+    debug: Optional["DebugSettings_t"] = None
     # fused deferred shade: ONE Pallas kernel from G-buffer tiles to sRGB
     # (shade/fused.py), consuming the rasterizer's native tile layout.
     # Auto-falls-back to the op-by-op XLA shade for configs the kernel
@@ -143,6 +147,8 @@ class Pipeline:
         # into the program and are safe)
         self.vis_offsets = np.asarray(offsets)
         self.vis_total = total
+        # winner-level alpha test in the rasterizer (MASKED materials)
+        self.use_alpha = bool(getattr(assets_meta, "has_alpha_masks", False))
 
     def initial_state(self) -> VisibilityState:
         return initial_state(
@@ -239,6 +245,7 @@ class Pipeline:
             depth, vis, gb, bins = rasterize_gbuffer(
                 geom, H, W, raster_cfg, init=init, vis_base_offset=base,
                 row_window=row_window, tiled_io=tiled_io,
+                alpha_masks=assets.alpha_masks if self.use_alpha else None,
             )
             return dict(
                 ie=ie, im=im, il=il, iv=iv, vis_m=vis_m, vis_e=vis_e,
@@ -263,6 +270,7 @@ class Pipeline:
                 (early["depth"], early["vis"], early["gb"]), C,
             )
             depth, vis, gb = late["depth"], late["vis"], late["gb"]
+            inst = (late["ie"], late["im"], late["iv"])
             # write back visibility for next frame
             new_state = VisibilityState(
                 entity_visible=late["vis_e"],
@@ -276,10 +284,11 @@ class Pipeline:
         else:
             single = run_pass(PASS_SINGLE, None, None, None, 0)
             depth, vis, gb = single["depth"], single["vis"], single["gb"]
+            inst = (single["ie"], single["im"], single["iv"])
             new_state = state
             overflow = single["overflow"]
 
-        return depth, vis, gb, new_state, overflow
+        return depth, vis, gb, new_state, overflow, inst
 
     # ------------------------------------------------------------------
     def _frame_fused(
@@ -295,8 +304,10 @@ class Pipeline:
         cfg = self.config
         W, H = cfg.width, cfg.height
         th, tw = cfg.raster.tile_h, cfg.raster.tile_w
-        depth_t, vis_t, gb_t, new_state, overflow = self.cull_and_raster(
-            assets, scene, view, state, cull_view, tiled_io=True
+        depth_t, vis_t, gb_t, new_state, overflow, inst = (
+            self.cull_and_raster(
+                assets, scene, view, state, cull_view, tiled_io=True
+            )
         )
         backend = cfg.raster.resolve_backend()
         color_u32 = shade_deferred_tiled(
@@ -307,10 +318,31 @@ class Pipeline:
             backend="xla" if backend == "xla" else "pallas",
             interpret=(backend == "pallas_interpret"),
         )
+        color = unpack_color(color_u32, H, W, th, tw)
+        depth_img = tiles_to_image(depth_t, H, W, th, tw)
+        if cfg.debug is not None:
+            from orbit_tpu.passes.debug_overlay import (
+                apply_overlay,
+                build_overlay,
+            )
+
+            cvp = (
+                view.proj @ cull_view
+                if cull_view is not None
+                else view.view_proj
+            )
+            segs, cols = build_overlay(
+                assets, scene, self.scene_meta.num_entities, cfg.debug,
+                cull_view_proj=cvp, inst_entity=inst[0],
+                inst_meshlet=inst[1], inst_valid=inst[2],
+            )
+            color = apply_overlay(
+                color, depth_img, view.view_proj, segs, cols, cfg.debug
+            )
         out = {
-            "color": unpack_color(color_u32, H, W, th, tw),
+            "color": color,
             "hdr": None,
-            "depth": tiles_to_image(depth_t, H, W, th, tw),
+            "depth": depth_img,
             "vis": tiles_to_image(vis_t, H, W, th, tw),
             "overflow": overflow,
         }
@@ -355,7 +387,7 @@ class Pipeline:
                 assets, scene, view, env, state, num_lights, cull_view
             )
 
-        depth, vis, gb, new_state, overflow = self.cull_and_raster(
+        depth, vis, gb, new_state, overflow, inst = self.cull_and_raster(
             assets, scene, view, state, cull_view, band=band
         )
 
@@ -392,6 +424,7 @@ class Pipeline:
         )
 
         shadow_fn = None
+        shadows = None
         if cfg.shadows is not None and not view.is_ortho:
             # the first directional light casts cascaded shadows
             # (reference: scene.rs:450-464 registers one ShadowCommand per
@@ -415,6 +448,7 @@ class Pipeline:
                     fovy, aspect, light_dir, cfg.shadows,
                     raster_cfg=cfg.shadow_raster or cfg.raster,
                     instance_capacity=cfg.instance_capacity,
+                    use_alpha=self.use_alpha,
                 )
                 px = (
                     jnp.arange(W * Hl, dtype=jnp.int32) % W
@@ -596,8 +630,30 @@ class Pipeline:
             hdr, cfg.exposure, bloom=bloom_img,
             bloom_intensity=cfg.bloom.intensity if cfg.bloom else 0.0,
         )
+        color = post_mod.to_u8(srgb)
+        if cfg.debug is not None:
+            from orbit_tpu.passes.debug_overlay import (
+                apply_overlay,
+                build_overlay,
+            )
+
+            cvp = (
+                view.proj @ cull_view
+                if cull_view is not None
+                else view.view_proj
+            )
+            segs, cols = build_overlay(
+                assets, scene, self.scene_meta.num_entities, cfg.debug,
+                cull_view_proj=cvp,
+                shadows=shadows,
+                inst_entity=inst[0], inst_meshlet=inst[1],
+                inst_valid=inst[2],
+            )
+            color = apply_overlay(
+                color, depth, view.view_proj, segs, cols, cfg.debug
+            )
         out = {
-            "color": post_mod.to_u8(srgb),
+            "color": color,
             "hdr": hdr,
             "depth": depth,
             "vis": vis,

@@ -101,11 +101,14 @@ def rasterize_gbuffer(
     vis_base_offset: int = 0,
     row_window=None,
     tiled_io: bool = False,
+    alpha_masks=None,
 ):
     """G-buffer raster: returns (depth, vis, gbuf [GB_ROWS,H,W], bins).
 
     row_window: see `rasterize`. tiled_io: exchange framebuffers in the
-    kernel's native tile layout (raster.layout) — no image transposes."""
+    kernel's native tile layout (raster.layout) — no image transposes.
+    alpha_masks: assets.alpha_masks when the scene has MASKED materials;
+    enables the rasterizer's winner-level alpha test."""
     row0, local_h = _window(height, cfg, row_window)
     bins = bin_meshlets(
         geom.bbox,
@@ -127,6 +130,7 @@ def rasterize_gbuffer(
             cfg.tile_h, cfg.tile_w,
             init=init, vis_base_offset=vis_base_offset,
             tile_row_offset=row0, tiled_io=tiled_io,
+            alpha_masks=alpha_masks, inst_mask_slot=geom.mask_slot,
         )
     else:
         depth, vis, gb = rasterize_pallas_gbuffer(
@@ -136,5 +140,6 @@ def rasterize_gbuffer(
             init=init, vis_base_offset=vis_base_offset,
             tile_row_offset=row0, tiled_io=tiled_io,
             pairs_per_step=cfg.pairs_per_step,
+            alpha_masks=alpha_masks, inst_mask_slot=geom.mask_slot,
         )
     return depth, vis, gb, bins

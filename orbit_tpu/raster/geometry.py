@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from orbit_tpu.raster.kernel_common import (
     AC_A,
-    AC_ALPHA_CUTOFF,
+    AC_MASK_SLOT,
     AC_B,
     AC_BASE,
     AC_C,
@@ -63,6 +63,7 @@ class GeometryBuffers:
     bbox: jax.Array
     inst_valid: jax.Array
     max_z: jax.Array
+    mask_slot: jax.Array  # [I] i32 alpha-mask slot per instance (-1 none)
 
 
 def process_geometry(
@@ -104,10 +105,13 @@ def process_geometry(
         tri_attrs = assets.tri_attrs[meshlet_ids]  # [I,64,3,9]
         mats = jnp.maximum(assets.mlet_material[meshlet_ids], 0)  # [I]
         attrs = attribute_setup(edges, valid, tri_attrs, assets, mats)
+        mask_slot = assets.mat_mask_slot[mats]
     else:
         attrs = jnp.zeros(
             (clip.shape[0], AC_ROWS, clip.shape[1]), jnp.float32
         )
+        mats = jnp.maximum(assets.mlet_material[meshlet_ids], 0)
+        mask_slot = assets.mat_mask_slot[mats]
 
     iv = (
         inst_valid
@@ -116,7 +120,7 @@ def process_geometry(
     )
     return GeometryBuffers(
         setup=setup, attrs=attrs, tri_valid=valid, bbox=bbox, inst_valid=iv,
-        max_z=max_z,
+        max_z=max_z, mask_slot=mask_slot,
     )
 
 
@@ -304,7 +308,9 @@ def attribute_setup(edges, valid, tri_attrs, assets, mats):
         rows[AC_EMISSIVE + k] = const(emis[:, k])
     rows[AC_METALLIC] = const(assets.mat_metallic[mats])
     rows[AC_ROUGHNESS] = const(assets.mat_roughness[mats])
-    rows[AC_ALPHA_CUTOFF] = const(assets.mat_alpha_cutoff[mats])
+    rows[AC_MASK_SLOT] = const(
+        assets.mat_mask_slot[mats].astype(jnp.float32)
+    )
     rows[AC_CTEX] = const(assets.mat_ctex[mats].astype(jnp.float32))
     rows[AC_MATID] = const(mats.astype(jnp.float32))
     zero = jnp.zeros((I, T), jnp.float32)

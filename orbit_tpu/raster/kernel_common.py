@@ -57,7 +57,7 @@ AC_BASE = 32      # base color RGBA constants (4) — GB order from here
 AC_EMISSIVE = 36  # emissive RGB constants (3)
 AC_METALLIC = 39
 AC_ROUGHNESS = 40
-AC_ALPHA_CUTOFF = 41
+AC_MASK_SLOT = 41   # alpha-mask slot id (float, -1 = opaque)
 AC_CTEX = 42      # combined-texture layer id (float-encoded, -1 none)
 AC_MATID = 43     # material id (float-encoded, for debug modes)
 AC_CONST_ROWS = 12  # AC_BASE..AC_MATID, contiguous, == GB constant rows
@@ -76,7 +76,7 @@ GB_BASE = 13      # rgba
 GB_EMISSIVE = 17  # rgb
 GB_METALLIC = 20
 GB_ROUGHNESS = 21
-GB_ALPHA_CUTOFF = 22
+GB_MASK_SLOT = 22   # alpha-mask slot id (float, -1 = opaque)
 GB_CTEX = 23
 GB_MATID = 24
 GB_OVERDRAW = 25  # accumulated covering-fragment count (render mode 7)
@@ -162,8 +162,24 @@ def eval_gbuffer_channels(sel, xs, ys):
     return jnp.concatenate(rows, axis=0)
 
 
+ALPHA_MASK_RES = 64  # == assets.types.ALPHA_MASK_RES
+
+
+def alpha_mask_texel_index(u, v, res: int = ALPHA_MASK_RES):
+    """Wrap uv and return integer mask texel coords (shared by the XLA
+    twin and the Pallas kernel so the discard is bit-identical)."""
+    ui = jnp.clip(
+        ((u - jnp.floor(u)) * res).astype(jnp.int32), 0, res - 1
+    )
+    vi = jnp.clip(
+        ((v - jnp.floor(v)) * res).astype(jnp.int32), 0, res - 1
+    )
+    return ui, vi
+
+
 def raster_meshlet_gbuffer(
-    setup_m, attrs_m, vis_base, xs, ys, depth, vis, gb, pix_mask=None
+    setup_m, attrs_m, vis_base, xs, ys, depth, vis, gb, pix_mask=None,
+    alpha_masks=None, mask_slot=None,
 ):
     """G-buffer variant of raster_meshlet_on_tile. Rank-2 pure.
 
@@ -172,6 +188,13 @@ def raster_meshlet_gbuffer(
     The winning triangle's coefficient rows are selected with a one-hot
     matmul (MXU) and evaluated per pixel — zero memory gathers.
     pix_mask: see raster_meshlet_on_tile.
+    alpha_masks/mask_slot: winner-level alpha test for MASKED materials
+    (reference: per-fragment `discard` in forward_depth_prepass.frag /
+    shadow.frag). The winning fragment's uv taps the material's baked
+    64x64 alpha bitmap; a failing winner is discarded (the pixel keeps
+    its previous contents). Approximation vs the reference: a discarded
+    winner does not fall back to the next-nearest fragment of the SAME
+    meshlet in the same step (other meshlets still composite normally).
     """
     # single evaluation of the candidates: the SAME argmax must drive the
     # vis id AND the attribute select (recomputing it in a second fusion
@@ -190,13 +213,24 @@ def raster_meshlet_gbuffer(
     best_z = jnp.max(cand, axis=0)
     best_tri = jnp.argmax(cand, axis=0).astype(jnp.int32)
     win = best_z > depth
-    new_depth = jnp.where(win, best_z, depth)
-    new_vis = jnp.where(win, vis_base + best_tri, vis)
 
     # exact select of the winner's coefficient rows (the Pallas kernel
     # uses tpu.dynamic_gather; this must match it bit-for-bit)
     sel = attrs_m[:, best_tri]  # [AC, NP]
     channels = eval_gbuffer_channels(sel, xs, ys)
+
+    if alpha_masks is not None:
+        ms = (
+            mask_slot
+            if mask_slot is not None
+            else jnp.round(attrs_m[AC_MASK_SLOT, 0]).astype(jnp.int32)
+        )
+        ui, vi = alpha_mask_texel_index(channels[GB_U], channels[GB_V])
+        a = alpha_masks[jnp.maximum(ms, 0) * ALPHA_MASK_RES + vi, ui]
+        win = win & ((ms < 0) | (a > 0.5))
+
+    new_depth = jnp.where(win, best_z, depth)
+    new_vis = jnp.where(win, vis_base + best_tri, vis)
     new_gb = jnp.where(win[None], channels, gb)
     # overdraw accumulates over ALL covering fragments (not just winners),
     # mirroring the reference's additive overdraw visualization

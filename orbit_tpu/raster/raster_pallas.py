@@ -55,7 +55,7 @@ def _slice_bins(bins: BinLists, s: slice) -> BinLists:
     )
 
 
-def _pair_meta(bins: BinLists, P: int):
+def _pair_meta(bins: BinLists, P: int, inst_mask_slot=None):
     """Pack per-pair scalars into TWO SMEM arrays (prefetch SMEM is 1 MB;
     at 64k-pair capacity every word counts):
       meta = slot<<3 | first_tile<<2 | first_group<<1 | valid
@@ -80,6 +80,9 @@ def _pair_meta(bins: BinLists, P: int):
         | (first_group.astype(jnp.int32) << 1)
         | pvalid.astype(jnp.int32)
     )
+    if inst_mask_slot is not None:
+        # alpha-mask slot rides in meta bits 26.. (slot must fit 23 bits)
+        meta = meta | ((inst_mask_slot[slot] + 1) << 26)
     maxz_q = jnp.round(
         jnp.clip(bins.pair_maxz, 0.0, 1.0) * 1023.0
     ).astype(jnp.int32)
@@ -314,13 +317,19 @@ def rasterize_pallas(
 
 
 def _gbuffer_kernel(
-    meta_ref, tq_ref, rowoff_ref, setup_ref,
-    attrs_ref, init_d_ref, init_v_ref, init_g_ref,  # aliased (unused)
-    depth_ref, vis_ref,
-    gb_ref, cur_min_ref, won_ref, bt_s, win_s,
-    *, tile_h, tile_w, ntx, vis_base_offset, pack,
+    meta_ref, tq_ref, rowoff_ref, *refs,
+    tile_h, tile_w, ntx, vis_base_offset, pack, use_alpha,
 ):
-    del init_d_ref, init_v_ref, init_g_ref
+    if use_alpha:
+        (setup_ref, attrs_ref, mask_ref, _i1, _i2, _i3,
+         depth_ref, vis_ref, gb_ref,
+         cur_min_ref, won_ref, bt_s, win_s, bz_s) = refs
+    else:
+        (setup_ref, attrs_ref, _i1, _i2, _i3,
+         depth_ref, vis_ref, gb_ref,
+         cur_min_ref, won_ref, bt_s, win_s, bz_s) = refs
+        mask_ref = None
+    del _i1, _i2, _i3  # aliased to depth/vis/gb (in-place update)
     p = pl.program_id(0)
     tpx = tile_h * tile_w
     n_chunks = 4 if tile_h % 4 == 0 else 1
@@ -332,7 +341,9 @@ def _gbuffer_kernel(
         m = meta_ref[i]
         valid = (m & 1) == 1
         first_tile = (m & 4) != 0
-        slot = m >> 3
+        # with alpha masks, meta bits 26.. carry (mask_slot + 1)
+        slot = (m >> 3) & 0x7FFFFF if use_alpha else (m >> 3)
+        mslot = (m >> 26) - 1 if use_alpha else -1
 
         # framebuffer blocks are input-output ALIASED to the init
         # buffers (in-place update; untouched groups keep init content)
@@ -368,7 +379,8 @@ def _gbuffer_kernel(
 
         # phase 1 (chunked): edge/depth functionals + depth test on the
         # quarter-row chunks the meshlet bbox spans; winners land in the
-        # bt_s/win_s scratch rows for the single attribute phase below
+        # bz_s/bt_s/win_s scratch rows — depth/vis writes are DEFERRED to
+        # phase 2 so a failing alpha test can still discard the winner
         @pl.when(active)
         def _():
             won_ref[0, 0] = 0
@@ -380,7 +392,7 @@ def _gbuffer_kernel(
             )
 
             @pl.when(run_q)
-            def _(q=q, r=r, coef=coef, vis_base=vis_base):
+            def _(q=q, r=r, coef=coef):
                 lanes = pl.ds(q * cpx, cpx)
                 flat = jax.lax.broadcasted_iota(jnp.int32, (1, cpx), 1)
                 col = (flat % tile_w).astype(jnp.float32)
@@ -405,14 +417,8 @@ def _gbuffer_kernel(
                 )
 
                 cur_d = depth_ref[pl.ds(r, 1), lanes]
-                cur_v = vis_ref[pl.ds(r, 1), lanes]
                 win = best_z > cur_d
-                depth_ref[pl.ds(r, 1), lanes] = jnp.where(
-                    win, best_z, cur_d
-                )
-                vis_ref[pl.ds(r, 1), lanes] = jnp.where(
-                    win, vis_base + best_tri, cur_v
-                )
+                bz_s[0:1, lanes] = best_z
                 bt_s[0:1, lanes] = best_tri
                 win_s[0:1, lanes] = win.astype(jnp.float32)
 
@@ -430,16 +436,15 @@ def _gbuffer_kernel(
                     won_ref[0, 0] = 1
 
         # phase 2: one attribute-interpolation pass over the whole tile
-        # for pairs that won any pixel — occluded ones skip it
+        # for pairs that won any pixel — occluded ones skip it. The
+        # alpha test refines the win mask BEFORE depth/vis/gb commit.
         @pl.when(active & (won_ref[0, 0] == 1))
-        def _(j=j, r=r):
-            cur_min_ref[0, 0] = jnp.min(depth_ref[pl.ds(r, 1), :])
+        def _(j=j, r=r, vis_base=vis_base, mslot=mslot):
             flat = jax.lax.broadcasted_iota(jnp.int32, (1, tpx), 1)
             col = (flat % tile_w).astype(jnp.float32)
             row = (flat // tile_w).astype(jnp.float32)
             xs = tx * tile_w + col + 0.5  # [1, TPX]
             ys = ty * tile_h + row + 0.5
-            winm = win_s[...] > 0.0
 
             # select the winning triangle's per-triangle affine rows with
             # tpu.dynamic_gather over [8,128] register chunks (exact f32:
@@ -477,6 +482,56 @@ def _gbuffer_kernel(
                 )
                 sel = sel_scratch[...]
                 channels = eval_gbuffer_channels(sel, xs, ys)
+
+                if use_alpha:
+                    # winner-level alpha test against the material's
+                    # VMEM-resident 64x64 mask: one-hot over the v texel
+                    # row feeds an MXU matmul with the mask block, then
+                    # the u one-hot selects the texel (values are exact
+                    # 0/1, so any matmul precision is exact)
+                    @pl.when(mslot >= 0)
+                    def _():
+                        from orbit_tpu.raster.kernel_common import (
+                            ALPHA_MASK_RES,
+                            GB_U,
+                            GB_V,
+                            alpha_mask_texel_index,
+                        )
+
+                        R = ALPHA_MASK_RES
+                        u = channels[GB_U : GB_U + 1]
+                        v = channels[GB_V : GB_V + 1]
+                        ui, vi = alpha_mask_texel_index(u, v, R)
+                        mblk = mask_ref[pl.ds(mslot * R, R), :]  # [R,128]
+                        iota_r = jax.lax.broadcasted_iota(
+                            jnp.int32, (R, tpx), 0
+                        )
+                        oh_v = (iota_r == vi).astype(jnp.float32)
+                        # B[c,p] = sum_i mblk[i,c] * oh_v[i,p]
+                        B = jax.lax.dot_general(
+                            mblk, oh_v, (((0,), (0,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST,
+                        )  # [128, tpx]
+                        iota_c = jax.lax.broadcasted_iota(
+                            jnp.int32, (128, tpx), 0
+                        )
+                        oh_u = (iota_c == ui).astype(jnp.float32)
+                        a = jnp.sum(B * oh_u, axis=0, keepdims=True)
+                        ok = a > 0.5
+                        win_s[...] = jnp.where(
+                            ok, win_s[...], jnp.zeros((1, tpx), jnp.float32)
+                        )
+
+                winm = win_s[...] > 0.0
+                # commit depth/vis from the (alpha-refined) winner mask
+                cur_d = depth_ref[pl.ds(r, 1), :]
+                cur_v = vis_ref[pl.ds(r, 1), :]
+                depth_ref[pl.ds(r, 1), :] = jnp.where(
+                    winm, bz_s[...], cur_d
+                )
+                vis_ref[pl.ds(r, 1), :] = jnp.where(
+                    winm, vis_base + bt_s[...], cur_v
+                )
                 # write only the interpolated rows — GB_OVERDRAW is an
                 # accumulator and must not be clobbered
                 gb_base = r * GB_ROWS
@@ -488,6 +543,7 @@ def _gbuffer_kernel(
             pl.run_scoped(
                 build_sel, pltpu.VMEM((AC_ROWS, tpx), jnp.float32)
             )
+            cur_min_ref[0, 0] = jnp.min(depth_ref[pl.ds(r, 1), :])
 
 
 def rasterize_pallas_gbuffer(
@@ -504,6 +560,8 @@ def rasterize_pallas_gbuffer(
     tile_row_offset=0,
     tiled_io: bool = False,
     pairs_per_step: int = 1,
+    alpha_masks=None,
+    inst_mask_slot=None,
 ):
     """G-buffer rasterizer. setup: [I,64,12]; attrs: [I, AC_ROWS, 64].
 
@@ -565,6 +623,7 @@ def rasterize_pallas_gbuffer(
     safe_slot = jnp.maximum(bins.pair_slot, 0)
     setup_pairs = setup[safe_slot]  # [P, 64, 12]
     attrs_pairs = attrs[safe_slot]  # [P, AC_ROWS, 64]
+    use_alpha = alpha_masks is not None
 
     fb_spec = pl.BlockSpec(
         (_GROUP, tpx),
@@ -583,27 +642,35 @@ def rasterize_pallas_gbuffer(
         f"pair capacity {P} must be a multiple of {chunk} for chaining"
     )
 
+    in_specs = [
+        pl.BlockSpec(
+            (pack, 64, 12),
+            lambda p, meta, tq, ro: (p, 0, 0),
+        ),
+        pl.BlockSpec(
+            (pack, AC_ROWS, 64),
+            lambda p, meta, tq, ro: (p, 0, 0),
+        ),
+    ]
+    if use_alpha:
+        # the whole mask atlas stays VMEM-resident (constant block index)
+        in_specs.append(
+            pl.BlockSpec(
+                alpha_masks.shape, lambda p, meta, tq, ro: (0, 0)
+            )
+        )
+    in_specs += [fb_spec, fb_spec, gb_spec]
+    n_lead = 3 if use_alpha else 2  # operands before the aliased fb trio
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(chunk // pack,),
-        in_specs=[
-            pl.BlockSpec(
-                (pack, 64, 12),
-                lambda p, meta, tq, ro: (p, 0, 0),
-            ),
-            pl.BlockSpec(
-                (pack, AC_ROWS, 64),
-                lambda p, meta, tq, ro: (p, 0, 0),
-            ),
-            fb_spec,
-            fb_spec,
-            gb_spec,
-        ],
+        in_specs=in_specs,
         out_specs=[fb_spec, fb_spec, gb_spec],
         scratch_shapes=[
             pltpu.SMEM((1, 1), jnp.float32),
             pltpu.SMEM((1, 1), jnp.int32),
             pltpu.VMEM((1, tpx), jnp.int32),
+            pltpu.VMEM((1, tpx), jnp.float32),
             pltpu.VMEM((1, tpx), jnp.float32),
         ],
     )
@@ -611,7 +678,15 @@ def rasterize_pallas_gbuffer(
     depth_t, vis_t, gb_t = init_d, init_v, init_g
     for c in range(P // chunk):
         s = slice(c * chunk, (c + 1) * chunk)
-        meta, tq = _pair_meta(_slice_bins(bins, s), chunk)
+        meta, tq = _pair_meta(
+            _slice_bins(bins, s), chunk,
+            inst_mask_slot=inst_mask_slot if use_alpha else None,
+        )
+        operands = [meta, tq, rowoff, setup_pairs[s], attrs_pairs[s]]
+        if use_alpha:
+            operands.append(alpha_masks)
+        operands += [depth_t, vis_t, gb_t]
+        base_io = 3 + n_lead  # prefetch args + leading operands
         depth_t, vis_t, gb_t = pl.pallas_call(
             functools.partial(
                 _gbuffer_kernel,
@@ -620,6 +695,7 @@ def rasterize_pallas_gbuffer(
                 ntx=ntx,
                 vis_base_offset=vis_base_offset,
                 pack=pack,
+                use_alpha=use_alpha,
             ),
             grid_spec=grid_spec,
             out_shape=[
@@ -629,12 +705,11 @@ def rasterize_pallas_gbuffer(
                     (n_tiles_pad * GB_ROWS, tpx), jnp.float32
                 ),
             ],
-            input_output_aliases={5: 0, 6: 1, 7: 2},
+            input_output_aliases={
+                base_io: 0, base_io + 1: 1, base_io + 2: 2
+            },
             interpret=interpret,
-        )(
-            meta, tq, rowoff,
-            setup_pairs[s], attrs_pairs[s], depth_t, vis_t, gb_t,
-        )
+        )(*operands)
 
     if tiled_io:
         return depth_t, vis_t, gb_t

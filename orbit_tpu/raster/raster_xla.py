@@ -110,7 +110,7 @@ def rasterize_xla(
 def rasterize_xla_gbuffer(
     setup, attrs, bins: BinLists, height, width, tile_h, tile_w,
     init=None, vis_base_offset: int = 0, tile_row_offset=0,
-    tiled_io: bool = False,
+    tiled_io: bool = False, alpha_masks=None, inst_mask_slot=None,
 ):
     """G-buffer rasterizer (XLA fallback / differential reference).
 
@@ -177,9 +177,12 @@ def rasterize_xla_gbuffer(
             cr = tile_h // 4 if tile_h % 4 == 0 else tile_h
             row_l = jnp.arange(tpx, dtype=jnp.int32) // tile_w
             mask = (row_l >= (qr // 4) * cr) & (row_l < (qr % 4 + 1) * cr)
+            ms = (
+                inst_mask_slot[slot] if inst_mask_slot is not None else None
+            )
             nd, nv, ng = raster_meshlet_gbuffer(
                 setup_m, attrs_m, vis_base, xs, ys, depth, vis, gb,
-                pix_mask=mask,
+                pix_mask=mask, alpha_masks=alpha_masks, mask_slot=ms,
             )
             nd = jnp.where(active, nd, depth)
             nv = jnp.where(active, nv, vis)

@@ -291,9 +291,17 @@ def bistro_xl_scene(seed: int = 2):
         trunk=store.add_material(
             base_color=(0.35, 0.25, 0.15, 1), roughness=0.9
         ),
+        # foliage is alpha-MASKED: the rasterizer's winner-level alpha
+        # test punches leaf-shaped holes in color/depth (and shadows
+        # when enabled) — Bistro-class content needs this for its
+        # trees/fences (reference AlphaMode, assets/mod.rs:124-150)
         leaves=store.add_material(
             base_color=(0.2, 0.45, 0.15, 1), roughness=0.8,
-            base_color_tex=t_noise,
+            base_color_tex=store.add_texture(
+                proc.leaf_texture(256, seed=seed), srgb=True
+            ),
+            alpha_mode=1,  # ALPHA_MODE_MASKED
+            alpha_cutoff=0.5,
         ),
         metal=store.add_material(
             base_color=(0.6, 0.6, 0.62, 1), metallic=1.0, roughness=0.3

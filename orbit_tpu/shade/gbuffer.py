@@ -20,7 +20,6 @@ from orbit_tpu.assets.types import mip_offsets, num_mips
 from orbit_tpu.math.color import srgb_to_linear
 from orbit_tpu.math.transforms import normalize
 from orbit_tpu.raster.kernel_common import (
-    GB_ALPHA_CUTOFF,
     GB_BASE,
     GB_CTEX,
     GB_DUDX,
