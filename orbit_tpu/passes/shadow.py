@@ -104,8 +104,47 @@ def cascade_views(
             half_width=radius, half_height=radius,
             znear=0.0, zfar=2.0 * radius + zextra,
         )
+        view = _add_camera_cull_planes(view, camera_view, ld)
         views.append((view, radius))
     return views
+
+
+def _add_camera_cull_planes(cascade_view, camera_view, ld):
+    """Extend a cascade's cull planes with the CAMERA frustum planes that
+    face the light (shadow_renderer.rs:622-651): a caster beyond such a
+    plane cannot cast a shadow back across it (shadows travel along -L),
+    so it is safely culled from the cascade render. Planes facing away
+    from the light stay inactive (their casters can still shadow the
+    frustum). This typically halves the shadow pass's draw set."""
+    from orbit_tpu.math.frustum import (
+        frustum_planes_from_matrix,
+        normalize_plane,
+    )
+
+    # camera frustum planes in WORLD space (first 5; far is trivial
+    # under the reverse-Z infinite projection)
+    pw = normalize_plane(
+        frustum_planes_from_matrix(camera_view.view_proj)
+    )[:5]
+    facing = jnp.sum(pw[:, :3] * ld[None, :], axis=-1) >= 0.0
+    # world plane -> cascade view space: n_v = R n_w, d_v = d_w - n_v.t
+    V = cascade_view.view
+    n_v = pw[:, :3] @ V[:3, :3].T
+    d_v = pw[:, 3] - n_v @ V[:3, 3]
+    p_v = jnp.concatenate([n_v, d_v[:, None]], axis=-1)
+    inactive = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 0.0, 1e30], jnp.float32), p_v.shape
+    )
+    extra = jnp.where(facing[:, None], p_v, inactive)
+
+    from dataclasses import replace as _replace
+
+    planes = jnp.concatenate(
+        [cascade_view.cull_planes[:5], extra, jnp.zeros((2, 4))]
+    )
+    return _replace(
+        cascade_view, cull_planes=planes, num_cull_planes=jnp.int32(10)
+    )
 
 
 def render_shadow_cascades(

@@ -425,31 +425,34 @@ class Pipeline:
 
         shadow_fn = None
         shadows = None
+        shadow_li = None
         if cfg.shadows is not None and not view.is_ortho:
-            # the first directional light casts cascaded shadows
+            # EVERY directional light casts its own cascaded shadow set
             # (reference: scene.rs:450-464 registers one ShadowCommand per
-            # directional light; we currently support one CSM set)
+            # directional light, MAX_SHADOW_COMMANDS=256)
             fovy = 2.0 * jnp.arctan(1.0 / view.proj[1, 1])
             aspect = view.proj[1, 1] / view.proj[0, 0]
             from orbit_tpu.scene import LIGHT_DIRECTIONAL
 
-            shadow_li = next(
-                (
-                    i
-                    for i, t in enumerate(self.scene_meta.light_types)
-                    if t == LIGHT_DIRECTIONAL
-                ),
-                None,
-            )
-            if shadow_li is not None:
-                light_dir = scene.light_dir[shadow_li]
-                shadows = shadow_mod.render_shadow_cascades(
-                    assets, scene, self.scene_meta.num_entities, view,
-                    fovy, aspect, light_dir, cfg.shadows,
-                    raster_cfg=cfg.shadow_raster or cfg.raster,
-                    instance_capacity=cfg.instance_capacity,
-                    use_alpha=self.use_alpha,
+            dir_lights = [
+                i
+                for i, t in enumerate(
+                    self.scene_meta.light_types[:num_lights]
                 )
+                if t == LIGHT_DIRECTIONAL
+            ]
+            if dir_lights:
+                shadow_sets = {}
+                for li in dir_lights:
+                    shadow_sets[li] = shadow_mod.render_shadow_cascades(
+                        assets, scene, self.scene_meta.num_entities, view,
+                        fovy, aspect, scene.light_dir[li], cfg.shadows,
+                        raster_cfg=cfg.shadow_raster or cfg.raster,
+                        instance_capacity=cfg.instance_capacity,
+                        use_alpha=self.use_alpha,
+                    )
+                shadow_li = dir_lights[0]
+                shadows = shadow_sets[shadow_li]  # mode-1 visualization
                 px = (
                     jnp.arange(W * Hl, dtype=jnp.int32) % W
                 ).astype(jnp.float32) + 0.5
@@ -459,13 +462,14 @@ class Pipeline:
                 pixel_xy = jnp.stack([px, py], axis=-1)
 
                 def shadow_fn(li, gbuf_, surface_):
-                    lit = shadow_mod.shadow_factor(
-                        shadows, gbuf_.world_pos, surface_.normal,
+                    # li is a STATIC slot index from the light loop
+                    if li not in shadow_sets:
+                        return jnp.ones(gbuf_.world_pos.shape[0])
+                    return shadow_mod.shadow_factor(
+                        shadow_sets[li], gbuf_.world_pos, surface_.normal,
                         scene.light_dir[li], scene.light_inner_radius[li],
                         pixel_xy, cfg.shadows,
                     )
-                    # only the CSM light is shadowed
-                    return jnp.where(li == shadow_li, lit, jnp.ones_like(lit))
 
         # clustered point lights (reference: cluster.rs + light_cluster/*)
         from orbit_tpu.scene import LIGHT_POINT
