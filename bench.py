@@ -152,6 +152,26 @@ def main():
         any_overflow |= bool(np.asarray(out["overflow"]))
     assert not any_overflow, "capacity overflow during fly-through"
 
+    # in-frame per-pass device times from ONE compiled frame (the
+    # reference's per-batch GPU timestamps, context.rs:1509-1529)
+    pass_ms = {}
+    try:
+        import os
+        import sys as _sys
+
+        _sys.path.insert(
+            0, os.path.join(os.path.dirname(__file__), "tools")
+        )
+        from pass_timing import frame_pass_times
+
+        def _run_once():
+            o, _ = frame(assets, scene, views[-1], env, state)
+            jax.block_until_ready(o["color"])
+
+        pass_ms = frame_pass_times(_run_once)
+    except Exception:
+        pass
+
     target_ms = 1000.0 / 60.0
     lod0_meshlets = int(store.h["mesh_lod_count"][:, 0].sum())
     lod0_tris = int(
@@ -178,6 +198,7 @@ def main():
             "lod0_meshlets": lod0_meshlets,
             "tris_in_store": lod0_tris,
             "entities": int(smeta.num_entities),
+            "pass_ms": pass_ms,
         },
     }
     print(json.dumps(result))

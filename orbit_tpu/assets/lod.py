@@ -87,6 +87,26 @@ def _cluster_once(positions, tris, lo, extent, res):
     return remap, t[first], keep_idx
 
 
+def simplify_qem(
+    positions: np.ndarray,
+    indices: np.ndarray,
+    target_tri_count: int,
+    tri_material: Optional[np.ndarray] = None,
+):
+    """QEM half-edge collapse with border locking (C++; reference role:
+    meshopt_simplify with LockBorder, mesh.rs:252-290). Locks open
+    boundaries, material-seam edges and attribute-seam (split) vertices
+    so LOD transitions never crack. Falls back to grid clustering when
+    the native library is unavailable."""
+    from orbit_tpu.native import qem_simplify_native
+
+    out = qem_simplify_native(positions, indices, target_tri_count,
+                              tri_material)
+    if out is None:
+        return simplify(positions, indices, target_tri_count, tri_material)
+    return out
+
+
 def build_lod_chain(
     positions: np.ndarray,
     indices: np.ndarray,
@@ -105,7 +125,9 @@ def build_lod_chain(
         target = int(n_tris * step)
         if target < min_tris:
             break
-        _, new_idx, new_mat = simplify(positions, cur_idx, target, cur_mat)
+        _, new_idx, new_mat = simplify_qem(
+            positions, cur_idx, target, cur_mat
+        )
         if len(new_idx) >= len(cur_idx):
             break
         lods.append((new_idx, new_mat))

@@ -96,3 +96,45 @@ def build_meshlets_native(
         count=n, vertices=mv[:n], triangles=mt[:n], vcount=vc[:n],
         tcount=tc[:n], sphere=sph[:n], cone=cone[:n], material=mat[:n],
     )
+
+
+def qem_simplify_native(positions, indices, target_tris, tri_material=None):
+    """C++ QEM half-edge-collapse simplification with border locking.
+
+    Returns (remap [V] i32, new_indices u32, new_tri_material | None) in
+    the same convention as assets.lod.simplify (all LODs share the
+    original vertex buffer), or None when the library is unavailable."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "qem_simplify"):
+        return None
+    positions = np.ascontiguousarray(positions, np.float32)
+    indices = np.ascontiguousarray(indices, np.uint32).reshape(-1)
+    n_verts = len(positions)
+    n_tris = len(indices) // 3
+    tm = (
+        np.ascontiguousarray(tri_material, np.int32)
+        if tri_material is not None
+        else None
+    )
+    remap = np.zeros(n_verts, np.int32)
+    out_idx = np.zeros(n_tris * 3, np.uint32)
+    out_mat = np.zeros(max(n_tris, 1), np.int32)
+
+    c_ptr = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
+    lib.qem_simplify.restype = ctypes.c_int
+    n = lib.qem_simplify(
+        c_ptr(positions, ctypes.c_float),
+        ctypes.c_int32(n_verts),
+        c_ptr(indices, ctypes.c_uint32),
+        ctypes.c_int32(n_tris),
+        c_ptr(tm, ctypes.c_int32) if tm is not None else None,
+        ctypes.c_int32(int(target_tris)),
+        c_ptr(remap, ctypes.c_int32),
+        c_ptr(out_idx, ctypes.c_uint32),
+        c_ptr(out_mat, ctypes.c_int32),
+    )
+    new_idx = out_idx[: n * 3].copy()
+    new_mat = out_mat[:n].copy() if tm is not None else None
+    return remap, new_idx, new_mat

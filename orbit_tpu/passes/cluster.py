@@ -40,6 +40,8 @@ class ClusterData:
     light_index: jax.Array  # [C, CAP] i32
     light_count: jax.Array  # [C] i32
     max_count: jax.Array  # scalar i32 (bound for the shading loop)
+    overflow: jax.Array = None  # [] bool — some cluster exceeded CAP
+    #   (lights beyond capacity are dropped; surfaced in frame overflow)
     grid: tuple = field(metadata=dict(static=True), default=(0, 0, 0))  # (ty, tx, slices)
 
 
@@ -143,6 +145,7 @@ def build_clusters(
     # --- compaction into fixed lists
     CAP = settings.max_lights_per_cluster
     rank = jnp.cumsum(hit, axis=1) - 1  # [C,L]
+    overflow = jnp.any(rank[:, -1] + 1 > CAP)
     count = jnp.clip(rank[:, -1] + 1, 0, CAP).astype(jnp.int32)
     dst = jnp.where(hit & (rank < CAP), ci[:, None] * CAP + rank, C * CAP)
     light_ids = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), (C, L))
@@ -152,6 +155,7 @@ def build_clusters(
     return ClusterData(
         light_index=flat.reshape(C, CAP),
         light_count=count,
+        overflow=overflow,
         max_count=jnp.max(count),
         grid=(nty, ntx, S),
     )

@@ -51,6 +51,8 @@ class ShadowMaps:
     matrices: jax.Array  # [C, 4, 4] world -> light clip
     world_sizes: jax.Array  # [C] ortho world diameter per cascade
     resolution: int = field(metadata=dict(static=True), default=1024)
+    overflow: jax.Array = None  # [] bool — any cascade's instance/pair
+    #   capacity overflowed (geometry silently dropped otherwise)
 
 
 def cascade_views(
@@ -170,6 +172,7 @@ def render_shadow_cascades(
     S = settings.resolution
     cfg = raster_cfg or RasterConfig()
     maps, mats, sizes = [], [], []
+    overflow = jnp.zeros((), bool)
     for view, radius in cascade_views(
         camera_view, fovy, aspect, light_dir, settings
     ):
@@ -181,9 +184,10 @@ def render_shadow_cascades(
             occlusion_pass=PASS_SINGLE,
             is_ortho=True,
         )
-        ie, im, il, iv, _ = expand_instances(
+        ie, im, il, iv, ovf_e = expand_instances(
             assets, draw_e, lod_idx, scene.entity_mesh, instance_capacity
         )
+        overflow = overflow | ovf_e
         draw_m, _ = cull_meshlet_instances(
             assets, scene, ie, im, iv,
             cull_view=view.view,
@@ -200,11 +204,12 @@ def render_shadow_cascades(
         if use_alpha:
             from orbit_tpu.raster import rasterize_gbuffer
 
-            depth, _, _, _ = rasterize_gbuffer(
+            depth, _, _, bins = rasterize_gbuffer(
                 geom, S, S, cfg, alpha_masks=assets.alpha_masks
             )
         else:
-            depth, _, _ = rasterize(geom, S, S, cfg)
+            depth, _, bins = rasterize(geom, S, S, cfg)
+        overflow = overflow | bins.overflow
         maps.append(depth)
         mats.append(view.view_proj)
         sizes.append(radius * 2.0)
@@ -213,6 +218,7 @@ def render_shadow_cascades(
         matrices=jnp.stack(mats),
         world_sizes=jnp.stack(sizes),
         resolution=S,
+        overflow=overflow,
     )
 
 

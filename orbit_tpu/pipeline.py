@@ -451,6 +451,8 @@ class Pipeline:
                         instance_capacity=cfg.instance_capacity,
                         use_alpha=self.use_alpha,
                     )
+                for sset in shadow_sets.values():
+                    overflow = overflow | sset.overflow
                 shadow_li = dir_lights[0]
                 shadows = shadow_sets[shadow_li]  # mode-1 visualization
                 px = (
@@ -485,6 +487,7 @@ class Pipeline:
             clusters = cluster_mod.build_clusters(
                 depth_full, scene, num_lights, view, cfg.clusters
             )
+            overflow = overflow | clusters.overflow
             cluster_ids = cluster_mod.pixel_cluster_ids(
                 depth_full, view, cfg.clusters
             )

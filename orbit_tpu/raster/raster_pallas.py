@@ -309,6 +309,7 @@ def rasterize_pallas(
             ],
             input_output_aliases={4: 0, 5: 1},
             interpret=interpret,
+            name="raster_depth",
         )(
             meta, tq, rowoff,
             setup_pairs[s], depth_t, vis_t,
@@ -709,6 +710,7 @@ def rasterize_pallas_gbuffer(
                 base_io: 0, base_io + 1: 1, base_io + 2: 2
             },
             interpret=interpret,
+            name="raster_gbuffer",
         )(*operands)
 
     if tiled_io:

@@ -530,6 +530,7 @@ def _prepass(
             out_specs=pl.BlockSpec((_GROUP, tpx), lambda g: (g, 0)),
             out_shape=jax.ShapeDtypeStruct((ntp, tpx), jnp.int32),
             interpret=interpret,
+            name="ctex_addr",
         )(gb_rows)
         words = assets.ctex_data.reshape(-1, 4)[addr]
         words1 = words[..., 1]
@@ -553,6 +554,7 @@ def _prepass(
             ),
             out_shape=jax.ShapeDtypeStruct((ntp, tpx), jnp.int32),
             interpret=interpret,
+            name="spec_addr",
         )(params, gb_rows, depth_t, words1)
 
     spec = env.spec_data.reshape(-1, env.spec_data.shape[-1])[saddr]
@@ -668,6 +670,7 @@ def shade_deferred_tiled(
         ),
         out_shape=jax.ShapeDtypeStruct((ntp, tpx), jnp.int32),
         interpret=interpret,
+        name="shade_deferred",
     )(params, gb_rows, depth_t, words_r, spec_r)
     return jax.lax.bitcast_convert_type(out, jnp.uint32)
 

@@ -3,8 +3,8 @@
 v2 shading front-end: the rasterizer already interpolated uv/derivatives/
 normal/tangent and baked material constants per pixel (raster kernel_common
 GB_* rows), so the only remaining memory-indirect work is ONE combined-
-texture tap per filter sample. Replaces resolve.resolve_gbuffer +
-the gather-heavy half of pbr.evaluate_material.
+texture tap per filter sample (the round-1 gather-based resolve path
+was superseded by this + shade/fused.py and removed).
 """
 
 from __future__ import annotations
@@ -37,8 +37,26 @@ from orbit_tpu.raster.kernel_common import (
     VIS_TRI_BITS,
 )
 from orbit_tpu.shade.pbr import Surface
-from orbit_tpu.shade.resolve import GBuffer
 from orbit_tpu.shade.texture import lod_from_derivatives, size_from_atlas
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class GBuffer:
+    """Flattened per-pixel surface attributes (N = H*W)."""
+
+    valid: jax.Array  # [N] bool
+    world_pos: jax.Array  # [N,3]
+    normal: jax.Array  # [N,3] geometric/interpolated (pre normal-map)
+    tangent: jax.Array  # [N,4]
+    uv: jax.Array  # [N,2]
+    duv_dx: jax.Array  # [N,2]
+    duv_dy: jax.Array  # [N,2]
+    material: jax.Array  # [N] i32
+    entity: jax.Array  # [N] i32
+    meshlet: jax.Array  # [N] i32
+    tri: jax.Array  # [N] i32
+    depth: jax.Array  # [N] f32 (reverse-Z)
 
 
 def _mip_offset_closed_form(size: int, k):

@@ -20,7 +20,7 @@ from orbit_tpu.math.transforms import normalize
 from orbit_tpu.scene import LIGHT_DIRECTIONAL, LIGHT_POINT, LIGHT_SKY
 from orbit_tpu.shade import brdf
 from orbit_tpu.shade import ibl as ibl_mod
-from orbit_tpu.shade.resolve import GBuffer
+
 from orbit_tpu.shade.texture import (
     lod_from_derivatives,
     sample_texture,
@@ -42,7 +42,7 @@ class Surface:
     ao: jax.Array  # [N]
 
 
-def evaluate_material(assets, gbuf: GBuffer, ssao: Optional[jax.Array] = None) -> Surface:
+def evaluate_material(assets, gbuf, ssao: Optional[jax.Array] = None) -> Surface:
     tex_size = size_from_atlas(assets.tex_data.shape[1])
     from orbit_tpu.utils import gather1
 
@@ -103,7 +103,7 @@ def evaluate_material(assets, gbuf: GBuffer, ssao: Optional[jax.Array] = None) -
 
 def shade(
     surface: Surface,
-    gbuf: GBuffer,
+    gbuf,
     scene,
     light_slots,
     eye,
