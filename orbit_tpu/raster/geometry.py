@@ -81,7 +81,14 @@ def process_geometry(
     """meshlet_ids: [I] i32 (compacted visible list); entity_matrices
     [I,4,4]. with_attrs=False skips the attribute stream (depth-only views
     such as shadow cascades)."""
-    tri_pos = assets.tri_pos[meshlet_ids]  # [I,64,3,3]
+    # gather as 2D rows (row-major both sides) so XLA does NOT relayout
+    # the whole asset array every frame (a [M,64,3,9] gather was choosing
+    # a transposed parameter layout + full-store copy: ~6 ms/frame)
+    M = assets.tri_pos.shape[0]
+    I = meshlet_ids.shape[0]
+    tri_pos = (
+        assets.tri_pos.reshape(M, -1)[meshlet_ids].reshape(I, 64, 3, 3)
+    )
     mvp = jnp.einsum("ab,ibc->iac", view_proj, entity_matrices)  # [I,4,4]
     ph = jnp.concatenate(
         [tri_pos, jnp.ones_like(tri_pos[..., :1])], axis=-1
@@ -102,7 +109,10 @@ def process_geometry(
     )
 
     if with_attrs:
-        tri_attrs = assets.tri_attrs[meshlet_ids]  # [I,64,3,9]
+        tri_attrs = (
+            assets.tri_attrs.reshape(M, -1)[meshlet_ids]
+            .reshape(I, 64, 3, 9)
+        )  # [I,64,3,9]
         mats = jnp.maximum(assets.mlet_material[meshlet_ids], 0)  # [I]
         attrs = attribute_setup(edges, valid, tri_attrs, assets, mats)
         mask_slot = assets.mat_mask_slot[mats]

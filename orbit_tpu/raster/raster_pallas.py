@@ -91,12 +91,12 @@ def _pair_meta(bins: BinLists, P: int, inst_mask_slot=None):
 
 
 def _kernel(
-    meta_ref, tq_ref, rowoff_ref, setup_ref,
-    init_d_ref, init_v_ref,  # aliased to depth_ref/vis_ref (unused)
-    depth_ref, vis_ref, cur_min_ref,
-    *, tile_h, tile_w, ntx, vis_base_offset, pack,
+    meta_ref, tq_ref, pslot_ref, rowoff_ref, *refs,
+    tile_h, tile_w, ntx, vis_base_offset, pack,
 ):
-    del init_d_ref, init_v_ref
+    # refs: pack setup blocks, init_d, init_v (aliased), depth, vis, scratch
+    setup_refs = refs[:pack]
+    depth_ref, vis_ref, cur_min_ref = refs[pack + 2], refs[pack + 3], refs[pack + 4]
     p = pl.program_id(0)
     tpx = tile_h * tile_w
     n_chunks = 4 if tile_h % 4 == 0 else 1
@@ -139,7 +139,7 @@ def _kernel(
         q1 = qr % 4
         ty = (tile // ntx + rowoff_ref[0]).astype(jnp.float32)
         tx = (tile % ntx).astype(jnp.float32)
-        s = setup_ref[j]  # [64, 12]
+        s = setup_refs[j][0]  # [64, 12] (in-kernel gather by pair slot)
 
         def coef(k, s=s):
             return s[:, k][:, None]  # [64, 1]
@@ -251,9 +251,6 @@ def rasterize_pallas(
     rowoff = jnp.full((1,), tile_row_offset, jnp.int32)
     pack = pairs_per_step
     assert P % pack == 0, f"pair capacity {P} not divisible by {pack}"
-    # pre-gather per-pair setup into stream order: kernel blocks then
-    # stream sequentially with no data-dependent gather index maps
-    setup_pairs = setup[jnp.maximum(bins.pair_slot, 0)]  # [P, 64, 12]
 
     # the prefetch SMEM budget (1 MB) caps one call at ~64k pairs; larger
     # capacities run as a chain of calls over stream chunks, each aliased
@@ -266,21 +263,28 @@ def rasterize_pallas(
 
     fb_spec = pl.BlockSpec(
         (_GROUP, tpx),
-        lambda p, meta, tq, ro: (
+        lambda p, meta, tq, ps, ro: (
             (tq[p * pack] & 0x3FFFF) // _GROUP, 0
         ),
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(chunk // pack,),
-        in_specs=[
-            pl.BlockSpec(
-                (pack, 64, 12),
-                lambda p, meta, tq, ro: (p, 0, 0),
+    # per-pair setup blocks are gathered IN-KERNEL from the [I, 64, 12]
+    # array: the block index map reads the pair's slot from the
+    # prefetched pslot array (Pallas double-buffers the DMAs). This
+    # replaces a [P, 64, 12] HBM pre-gather + layout copy.
+    setup_specs = [
+        pl.BlockSpec(
+            (1, 64, 12),
+            functools.partial(
+                lambda p, meta, tq, ps, ro, j: (ps[p * pack + j], 0, 0),
+                j=j,
             ),
-            fb_spec,
-            fb_spec,
-        ],
+        )
+        for j in range(pack)
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(chunk // pack,),
+        in_specs=setup_specs + [fb_spec, fb_spec],
         out_specs=[fb_spec, fb_spec],
         scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
     )
@@ -288,11 +292,13 @@ def rasterize_pallas(
     # the framebuffer inputs are ALIASED to the outputs: raster updates
     # them in place and untouched tile groups keep their init content
     depth_t, vis_t = init_d, init_v
+    base_io = 4 + pack  # prefetch args + setup blocks
     for c in range(P // chunk):
         s = slice(c * chunk, (c + 1) * chunk)
         # per-chunk metadata: each call's first pair of a tile re-reads
         # the running tile min (the cur_min scratch starts cold per call)
         meta, tq = _pair_meta(_slice_bins(bins, s), chunk)
+        pslot = jnp.maximum(bins.pair_slot[s], 0)
         depth_t, vis_t = pl.pallas_call(
             functools.partial(
                 _kernel,
@@ -307,28 +313,31 @@ def rasterize_pallas(
                 jax.ShapeDtypeStruct((n_tiles_pad, tpx), jnp.float32),
                 jax.ShapeDtypeStruct((n_tiles_pad, tpx), jnp.int32),
             ],
-            input_output_aliases={4: 0, 5: 1},
+            input_output_aliases={base_io: 0, base_io + 1: 1},
             interpret=interpret,
             name="raster_depth",
         )(
-            meta, tq, rowoff,
-            setup_pairs[s], depth_t, vis_t,
+            meta, tq, pslot, rowoff,
+            *([setup] * pack), depth_t, vis_t,
         )
     return from_tiles(depth_t), from_tiles(vis_t)
 
 
 def _gbuffer_kernel(
-    meta_ref, tq_ref, rowoff_ref, *refs,
+    meta_ref, tq_ref, pslot_ref, rowoff_ref, *refs,
     tile_h, tile_w, ntx, vis_base_offset, pack, use_alpha,
 ):
+    setup_refs = refs[:pack]
+    attrs_refs = refs[pack : 2 * pack]
+    rest = refs[2 * pack :]
     if use_alpha:
-        (setup_ref, attrs_ref, mask_ref, _i1, _i2, _i3,
+        (mask_ref, _i1, _i2, _i3,
          depth_ref, vis_ref, gb_ref,
-         cur_min_ref, won_ref, bt_s, win_s, bz_s) = refs
+         cur_min_ref, won_ref, bt_s, win_s, bz_s) = rest
     else:
-        (setup_ref, attrs_ref, _i1, _i2, _i3,
+        (_i1, _i2, _i3,
          depth_ref, vis_ref, gb_ref,
-         cur_min_ref, won_ref, bt_s, win_s, bz_s) = refs
+         cur_min_ref, won_ref, bt_s, win_s, bz_s) = rest
         mask_ref = None
     del _i1, _i2, _i3  # aliased to depth/vis/gb (in-place update)
     p = pl.program_id(0)
@@ -371,7 +380,7 @@ def _gbuffer_kernel(
         q1 = qr % 4
         ty = (tile // ntx + rowoff_ref[0]).astype(jnp.float32)
         tx = (tile % ntx).astype(jnp.float32)
-        s = setup_ref[j]  # [64, 12]
+        s = setup_refs[j][0]  # [64, 12] (in-kernel gather by pair slot)
 
         def coef(k, s=s):
             return s[:, k][:, None]  # [64, 1]
@@ -452,7 +461,7 @@ def _gbuffer_kernel(
             # the coefficients cancel catastrophically in bf16). The
             # per-meshlet constant rows are identical for all triangles
             # and broadcast from lane 0 instead of being selected.
-            attrs_m = attrs_ref[j]  # [AC_ROWS, 64]
+            attrs_m = attrs_refs[j][0]  # [AC_ROWS, 64]
             attrs_w = jnp.concatenate(
                 [attrs_m[:AC_SELECT_ROWS], attrs_m[:AC_SELECT_ROWS]],
                 axis=1,
@@ -619,22 +628,17 @@ def rasterize_pallas_gbuffer(
     rowoff = jnp.full((1,), tile_row_offset, jnp.int32)
     pack = pairs_per_step
     assert P % pack == 0, f"pair capacity {P} not divisible by {pack}"
-    # pre-gather per-pair setup/attrs into stream order: kernel blocks
-    # stream sequentially with no data-dependent gather index maps
-    safe_slot = jnp.maximum(bins.pair_slot, 0)
-    setup_pairs = setup[safe_slot]  # [P, 64, 12]
-    attrs_pairs = attrs[safe_slot]  # [P, AC_ROWS, 64]
     use_alpha = alpha_masks is not None
 
     fb_spec = pl.BlockSpec(
         (_GROUP, tpx),
-        lambda p, meta, tq, ro: (
+        lambda p, meta, tq, ps, ro: (
             (tq[p * pack] & 0x3FFFF) // _GROUP, 0
         ),
     )
     gb_spec = pl.BlockSpec(
         (_GROUP * GB_ROWS, tpx),
-        lambda p, meta, tq, ro: (
+        lambda p, meta, tq, ps, ro: (
             (tq[p * pack] & 0x3FFFF) // _GROUP, 0
         ),
     )
@@ -643,27 +647,33 @@ def rasterize_pallas_gbuffer(
         f"pair capacity {P} must be a multiple of {chunk} for chaining"
     )
 
-    in_specs = [
-        pl.BlockSpec(
-            (pack, 64, 12),
-            lambda p, meta, tq, ro: (p, 0, 0),
-        ),
-        pl.BlockSpec(
-            (pack, AC_ROWS, 64),
-            lambda p, meta, tq, ro: (p, 0, 0),
-        ),
-    ]
+    # per-pair setup/attrs blocks are gathered IN-KERNEL from the
+    # [I, ...] arrays: block index maps read each pair's slot from the
+    # prefetched pslot array (Pallas double-buffers the DMAs). This
+    # replaces the [P, 64, 12] + [P, AC_ROWS, 64] HBM pre-gathers and
+    # their layout copies — at bench scale ~2.4 GB/frame of traffic.
+    def _slot_spec(shape, j):
+        return pl.BlockSpec(
+            (1,) + shape,
+            functools.partial(
+                lambda p, meta, tq, ps, ro, j: (ps[p * pack + j], 0, 0),
+                j=j,
+            ),
+        )
+
+    in_specs = [_slot_spec((64, 12), j) for j in range(pack)]
+    in_specs += [_slot_spec((AC_ROWS, 64), j) for j in range(pack)]
     if use_alpha:
         # the whole mask atlas stays VMEM-resident (constant block index)
         in_specs.append(
             pl.BlockSpec(
-                alpha_masks.shape, lambda p, meta, tq, ro: (0, 0)
+                alpha_masks.shape, lambda p, meta, tq, ps, ro: (0, 0)
             )
         )
     in_specs += [fb_spec, fb_spec, gb_spec]
-    n_lead = 3 if use_alpha else 2  # operands before the aliased fb trio
+    n_lead = 2 * pack + (1 if use_alpha else 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(chunk // pack,),
         in_specs=in_specs,
         out_specs=[fb_spec, fb_spec, gb_spec],
@@ -683,11 +693,13 @@ def rasterize_pallas_gbuffer(
             _slice_bins(bins, s), chunk,
             inst_mask_slot=inst_mask_slot if use_alpha else None,
         )
-        operands = [meta, tq, rowoff, setup_pairs[s], attrs_pairs[s]]
+        pslot = jnp.maximum(bins.pair_slot[s], 0)
+        operands = [meta, tq, pslot, rowoff]
+        operands += [setup] * pack + [attrs] * pack
         if use_alpha:
             operands.append(alpha_masks)
         operands += [depth_t, vis_t, gb_t]
-        base_io = 3 + n_lead  # prefetch args + leading operands
+        base_io = 4 + n_lead  # prefetch args + leading operands
         depth_t, vis_t, gb_t = pl.pallas_call(
             functools.partial(
                 _gbuffer_kernel,
