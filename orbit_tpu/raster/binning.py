@@ -5,11 +5,17 @@ The reference lets the GPU append draw commands with atomicAdd
   1. per-meshlet tile span from its screen bbox -> pair count
   2. exclusive cumsum -> pair offsets
   3. *inverse expansion*: for each pair slot p in a fixed-capacity buffer,
-     searchsorted(offsets, p) recovers its meshlet; span arithmetic recovers
-     its tile (no scatter, fully static shapes)
+     scatter+cummax recovers its meshlet; span arithmetic recovers its
+     tile (no atomics, fully static shapes)
   4. one stable sort by tile id groups pairs per tile; per-tile ranges come
-     from searchsorted of the tile boundaries.
+     from a bincount + cumsum of the tile ids.
 Overflow beyond pair capacity is dropped and reported via `overflow`.
+
+TPU shape discipline: random gathers cost ~5-9 ns/row REGARDLESS of row
+width, so all per-instance fields are packed into ONE [I, 8] i32 record
+gathered once per pair (vs ~10 separate [P]<-[I] gathers, which were
+~60% of binning's device time), and the sort carries a single packed
+payload word instead of an index payload + post-sort gathers.
 """
 
 from __future__ import annotations
@@ -27,7 +33,9 @@ class BinLists:
     pair_tile: [P] i32 tile id per pair (pad: -1)
     tile_start/tile_count: [T] i32 range into pair_slot per tile
     overflow: [] bool — pair capacity exceeded this frame
-    pair_maxz: [P] f32 conservative nearest depth (early-z skip)
+    pair_maxz: [P] f32 conservative nearest depth (early-z skip),
+    10-bit quantized (floor -> conservative) so both backends consume
+    the same value the Pallas kernel carries in its packed SMEM word
     pair_qr: [P] i32 packed q0*4+q1 — the quarter-row chunks of the tile
     covered by the meshlet's bbox (rasterizer skips the others; pixels
     outside the bbox cannot be covered, so this is semantics-preserving
@@ -52,10 +60,10 @@ def bin_meshlets(
 
     max_z: optional [I] f32 conservative nearest depth per meshlet
     (reverse-Z). When given, pairs within a tile are ordered front to back
-    (by a 10-bit depth bucket) and pair_maxz carries the full-precision
-    bound for the rasterizer's early-z skip — the sort-based stand-in for
+    (by a 10-bit depth bucket) and pair_maxz carries the quantized bound
+    for the rasterizer's early-z skip — the sort-based stand-in for
     hardware early-Z + front-to-back draw ordering. Without it pair_maxz
-    is 2.0 (skip never fires).
+    is 1.0 (skip never fires against a tile min < 1).
 
     row0/num_rows: optional tile-row window (multi-chip framebuffer
     bands): only tiles in rows [row0, row0+num_rows) are binned, and tile
@@ -66,13 +74,17 @@ def bin_meshlets(
     group_align: pad the sorted stream with invalid pairs so that pairs
     of different 8-tile framebuffer groups never share a group_align-wide
     step — the Pallas rasterizer processes that many pairs per grid step
-    with ONE framebuffer block (pair-packing amortizes the ~0.4us/step
-    grid+DMA machinery). Padding counts against pair_capacity."""
+    with ONE framebuffer block group. Padding counts against
+    pair_capacity."""
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
     if num_rows is None:
         num_rows = nty
     n_tiles = ntx * num_rows
+    I = bbox.shape[0]
+    P = pair_capacity
+    assert I < 1 << 17, "packed sort payload requires < 131072 instances"
+    assert P <= 1 << 18, "pair capacity exceeds packed index range"
 
     tx0 = jnp.clip(jnp.floor(bbox[:, 0] / tile_w).astype(jnp.int32), 0, ntx)
     ty0 = jnp.clip(
@@ -93,59 +105,81 @@ def bin_meshlets(
     offsets = jnp.cumsum(counts) - counts  # exclusive
     total = offsets[-1] + counts[-1] if counts.shape[0] > 0 else jnp.int32(0)
 
-    P = pair_capacity
+    if max_z is None:
+        mz_q = jnp.full((I,), 1023, jnp.int32)
+        bucket = jnp.zeros((I,), jnp.int32)
+    else:
+        # 10-bit quantized (floor -> conservative); both backends consume
+        # the same dequantized value so early-z skipping is bit-consistent
+        mz_q = jnp.floor(
+            jnp.clip(max_z.astype(jnp.float32), 0.0, 1.0) * 1023.0
+        ).astype(jnp.int32)
+        # front-to-back: nearest (largest reverse-Z bound) first
+        bucket = 1023 - jnp.round(
+            jnp.clip(max_z.astype(jnp.float32), 0.0, 1.0) * 1023.0
+        ).astype(jnp.int32)
+
+    # quarter-row chunk coordinates (global chunk rows of the bbox's
+    # vertical extent; per-pair qr derives exactly because tile bases are
+    # chunk-aligned: clip((y - ty*th)//cr) == clip(y//cr - ty*4))
+    if tile_h % 4 == 0:
+        cr = tile_h // 4
+        y0c = jnp.floor(bbox[:, 1]).astype(jnp.int32) // cr
+        y1c = (
+            jnp.maximum(
+                jnp.ceil(bbox[:, 3]).astype(jnp.int32) - 1,
+                jnp.floor(bbox[:, 1]).astype(jnp.int32),
+            )
+            // cr
+        )
+    else:
+        y0c = jnp.zeros((I,), jnp.int32)
+        y1c = jnp.zeros((I,), jnp.int32)
+
+    # ONE per-instance record -> ONE gather per pair (rows cost the same
+    # as scalars on TPU)
+    inst_rec = jnp.stack(
+        [offsets, tx0, ty0, jnp.maximum(span_x, 1), bucket, mz_q, y0c, y1c],
+        axis=1,
+    )  # [I, 8]
+
     p = jnp.arange(P, dtype=jnp.int32)
     # which meshlet does pair slot p belong to? scatter + cummax
     # forward-fill (O(P), no binary search)
     starts = jnp.where(counts > 0, offsets, P)
     mark = jnp.full((P,), -1, jnp.int32).at[starts].max(
-        jnp.arange(counts.shape[0], dtype=jnp.int32), mode="drop"
+        jnp.arange(I, dtype=jnp.int32), mode="drop"
     )
     slot = jnp.maximum(jax.lax.cummax(mark), 0)
-    local = p - offsets[slot]
-    sx = jnp.maximum(span_x[slot], 1)
-    tile_x = tx0[slot] + local % sx
-    tile_y = ty0[slot] + local // sx
+    rec = inst_rec[slot]  # [P, 8]
+    local = p - rec[:, 0]
+    sx = rec[:, 3]
+    tile_x = rec[:, 1] + local % sx
+    tile_y = rec[:, 2] + local // sx
     tile = tile_y * ntx + tile_x
     pair_valid = p < total
 
-    # sort by (tile, depth bucket); invalid pairs to the end
-    if max_z is None:
-        maxz_i = jnp.full((counts.shape[0],), 2.0, jnp.float32)
-        bucket = jnp.zeros((counts.shape[0],), jnp.int32)
-    else:
-        maxz_i = max_z.astype(jnp.float32)
-        # front-to-back: nearest (largest reverse-Z bound) first
-        bucket = 1023 - jnp.round(
-            jnp.clip(maxz_i, 0.0, 1.0) * 1023.0
-        ).astype(jnp.int32)
-    key = jnp.where(pair_valid, tile * 1024 + bucket[slot], n_tiles * 1024)
-    order = jnp.argsort(key, stable=True)
-    sorted_key = key[order]
-    in_range = sorted_key < n_tiles * 1024
-    pair_slot = jnp.where(in_range, slot[order], -1)
-    # 10-bit quantized (floor -> conservative) so the Pallas kernel can
-    # carry it inside the packed tq SMEM word; both backends consume the
-    # same dequantized value so early-z skipping stays bit-consistent
-    pair_maxz = jnp.where(in_range, maxz_i[slot[order]], -1.0)
-    pair_maxz = jnp.floor(jnp.clip(pair_maxz, 0.0, 1.0) * 1023.0) / 1023.0
-
-    # per-pair quarter-row range of the tile covered by the bbox
     if tile_h % 4 == 0:
-        cr = tile_h // 4
-        base = (row0 + tile_y) * tile_h
-        ly0 = jnp.clip(
-            jnp.floor(bbox[:, 1]).astype(jnp.int32)[slot] - base,
-            0, tile_h - 1,
-        )
-        ly1 = jnp.clip(
-            jnp.ceil(bbox[:, 3]).astype(jnp.int32)[slot] - 1 - base,
-            0, tile_h - 1,
-        )
-        qr = (ly0 // cr) * 4 + jnp.maximum(ly1, ly0) // cr
+        base_c = (row0 + tile_y) * 4
+        q0 = jnp.clip(rec[:, 6] - base_c, 0, 3)
+        q1 = jnp.maximum(jnp.clip(rec[:, 7] - base_c, 0, 3), q0)
+        qr = q0 * 4 + q1
     else:
-        qr = jnp.full_like(slot, 3)  # q0=0, q1=3: full tile
-    pair_qr = jnp.where(in_range, qr[order], 0)
+        qr = jnp.full((P,), 3, jnp.int32)  # q0=0, q1=3: full tile
+
+    # sort by (tile, depth bucket); invalid pairs to the end. The payload
+    # carries slot/qr/maxz packed in one word — no post-sort gathers.
+    key = jnp.where(pair_valid, tile * 1024 + rec[:, 4], n_tiles * 1024)
+    payload = (slot << 14) | (qr << 10) | rec[:, 5]
+    sorted_key, sorted_pay = jax.lax.sort(
+        (key, payload), num_keys=1, is_stable=True
+    )
+    in_range = sorted_key < n_tiles * 1024
+    pair_slot = jnp.where(in_range, sorted_pay >> 14, -1)
+    pair_qr = jnp.where(in_range, (sorted_pay >> 10) & 15, 0)
+    pair_maxz = jnp.where(
+        in_range, (sorted_pay & 1023).astype(jnp.float32) / 1023.0, 0.0
+    )
 
     # per-tile ranges via bincount + cumsum (no binary searches)
     per_tile = jnp.zeros((n_tiles,), jnp.int32).at[
@@ -180,14 +214,19 @@ def bin_meshlets(
         overflow = overflow | (last_new > P)
         tgt = jnp.where(in_range, new_idx, P)
 
-        def scat(arr, fill):
-            out = jnp.full((P,), fill, arr.dtype)
-            return out.at[tgt].set(arr, mode="drop")
-
-        pair_slot = scat(pair_slot, -1)
-        pair_maxz = scat(pair_maxz, -1.0)
-        pair_qr = scat(pair_qr, 0)
-        sorted_tile = scat(sorted_tile, -1)
+        # TWO packed scatters instead of four: (slot+1 | qr | mz) + tile
+        word = (((sorted_pay >> 14) + 1) << 14) | (sorted_pay & 0x3FFF)
+        w_s = jnp.zeros((P,), jnp.int32).at[tgt].set(word, mode="drop")
+        sorted_tile = (
+            jnp.full((P,), -1, jnp.int32).at[tgt].set(
+                sorted_tile, mode="drop"
+            )
+        )
+        pair_slot = (w_s >> 14) - 1
+        pair_qr = jnp.where(pair_slot >= 0, (w_s >> 10) & 15, 0)
+        pair_maxz = jnp.where(
+            pair_slot >= 0, (w_s & 1023).astype(jnp.float32) / 1023.0, 0.0
+        )
         shift = cum_pad[jnp.clip(tile_start, 0, P - 1)]
         tile_start = jnp.minimum(tile_start + shift, P)
 

@@ -63,7 +63,7 @@ def main():
     )
 
     @jax.jit
-    def build_inputs():
+    def build_inputs(assets, scene):
         draw_e, lod_idx, _ = cull_entities(
             assets, scene, smeta.num_entities, occlusion_pass=PASS_SINGLE,
             pyramid=None, prev_visible=None, lod_base=3.0, lod_step=1.45,
@@ -79,28 +79,28 @@ def main():
         )
         return ie, im, iv, draw_m
 
-    ie, im, iv, draw_m = jax.block_until_ready(build_inputs())
+    ie, im, iv, draw_m = jax.block_until_ready(build_inputs(assets, scene))
     print("valid instances:", int(jnp.sum(iv.astype(jnp.int32))),
           " drawn:", int(jnp.sum(draw_m.astype(jnp.int32))))
 
     geom_full = jax.jit(
-        lambda im, ie, dm: process_geometry(
-            assets, im, scene.entity_model[ie], view.view_proj, W, H,
+        lambda a, s, im, ie, dm: process_geometry(
+            a, im, s.entity_model[ie], view.view_proj, W, H,
             inst_valid=dm,
         )
     )
     geom_noattr = jax.jit(
-        lambda im, ie, dm: process_geometry(
-            assets, im, scene.entity_model[ie], view.view_proj, W, H,
+        lambda a, s, im, ie, dm: process_geometry(
+            a, im, s.entity_model[ie], view.view_proj, W, H,
             inst_valid=dm, with_attrs=False,
         )
     )
-    t_geom = timeit(geom_full, im, ie, draw_m)
-    t_geom_na = timeit(geom_noattr, im, ie, draw_m)
+    t_geom = timeit(geom_full, assets, scene, im, ie, draw_m)
+    t_geom_na = timeit(geom_noattr, assets, scene, im, ie, draw_m)
     print(f"geometry full:    {t_geom:8.2f} ms")
     print(f"geometry noattrs: {t_geom_na:8.2f} ms")
 
-    geom = jax.block_until_ready(geom_full(im, ie, draw_m))
+    geom = jax.block_until_ready(geom_full(assets, scene, im, ie, draw_m))
 
     bins_f = jax.jit(
         lambda g: bin_meshlets(
@@ -138,12 +138,12 @@ def main():
         jnp.zeros((ntp * 32, 2048), jnp.float32),
     )
     gbuf_p1 = jax.jit(
-        lambda s, a, b: rasterize_pallas_gbuffer(
+        lambda s, a, b, init: rasterize_pallas_gbuffer(
             s, a, b, H, W, 16, 128, pairs_per_step=8, tiled_io=True,
             init=init,
         )
     )
-    t_g1 = timeit(gbuf_p1, geom.setup, geom.attrs, bins)
+    t_g1 = timeit(gbuf_p1, geom.setup, geom.attrs, bins, init)
     print(f"gbuffer phase1:   {t_g1:8.2f} ms   (phase2 ~ {t_g - t_g1:.2f})")
 
 
