@@ -156,10 +156,16 @@ class AssetStore:
                 h["mlet_material"][i] = ml.material
                 # corner-major expansion for the gather-free geometry stage
                 gv = ml.vertices[ml.triangles.astype(np.int64)]  # [nt,3]
-                h["tri_pos"][i, :nt] = mesh.positions[gv]
-                h["tri_attrs"][i, :nt] = np.concatenate(
+                h["tri_pos"][i].reshape(64, 3, 3)[:nt] = mesh.positions[gv]
+                # corner-attr block (kernel_common CA_* layout): rows
+                # c*9+ch over triangle lanes — consumed by the rasterizer
+                # in-kernel, never materialized per frame
+                att = np.concatenate(
                     [mesh.uvs[gv], mesh.normals[gv], mesh.tangents[gv]],
                     axis=-1,
+                )  # [nt, 3, 9]
+                h["tri_ac"][i, :27, :nt] = att.transpose(1, 2, 0).reshape(
+                    27, nt
                 )
             self.num_meshlets += len(mlets)
             h["mesh_lod_offset"][mesh_id, li] = m_base
@@ -259,9 +265,38 @@ class AssetStore:
             h["mat_mask_slot"][m] = n
             n += 1
 
+    def _bake_tri_ac_constants(self):
+        """Fill the per-meshlet material-constant rows of tri_ac (CA_BASE
+        onward, GB order, broadcast across triangle lanes). Runs after
+        _build_combined_textures so mask slots / combined-texture layers
+        are assigned."""
+        from orbit_tpu.raster.kernel_common import CA_BASE
+
+        h = self.h
+        n = self.num_meshlets
+        if n == 0:
+            return
+        mats = np.maximum(h["mlet_material"][:n], 0)
+        consts = np.concatenate(
+            [
+                h["mat_base_color"][mats],
+                h["mat_emissive"][mats],
+                h["mat_metallic"][mats][:, None],
+                h["mat_roughness"][mats][:, None],
+                h["mat_mask_slot"][mats][:, None].astype(np.float32),
+                h["mat_ctex"][mats][:, None].astype(np.float32),
+                mats[:, None].astype(np.float32),
+            ],
+            axis=1,
+        ).astype(np.float32)  # [n, 12]
+        h["tri_ac"][:n, CA_BASE : CA_BASE + consts.shape[1], :] = consts[
+            :, :, None
+        ]
+
     # -- upload ---------------------------------------------------------------
     def to_device(self, device=None) -> tuple[AssetArrays, AssetMeta]:
         self._build_combined_textures()
+        self._bake_tri_ac_constants()
         h = self.h
         put = lambda x: jax.device_put(x, device)
         d = dict(h)

@@ -15,6 +15,8 @@ from typing import Tuple
 import jax
 import numpy as np
 
+from orbit_tpu.raster.kernel_common import CA_ROWS
+
 # reference: src/assets/mesh.rs:8-9
 MAX_MESHLET_VERTICES = 64
 MAX_MESHLET_TRIANGLES = 64
@@ -131,8 +133,14 @@ class AssetArrays:
     Pre-expanded triangle corners (TPU-first: per-pixel/per-corner HBM
     gathers cost ~5ns/row, so corner data is baked corner-major at load —
     the geometry stage reads one [I]-row gather instead of millions):
-      tri_pos         [M, 64, 3, 3] f32 corner positions (model space)
-      tri_attrs       [M, 64, 3, 9] f32 corner (u, v, nx, ny, nz, tx, ty, tz, tw)
+      tri_pos         [M, 576] f32 corner positions (model space), flat
+                      row-major [tri 64, corner 3, xyz 3] — stored flat so
+                      the per-frame row gather needs no relayout copy
+      tri_ac          [M, CA_ROWS, 64] f32 corner-attr blocks consumed by
+                      the rasterizer IN-KERNEL (kernel_common CA_* layout:
+                      rows c*9+ch = corner (u,v,nx,ny,nz,tx,ty,tz,tw),
+                      rows CA_BASE.. = material constants broadcast over
+                      lanes; lanes = triangles)
     Meshes (reference GpuMeshInfo, assets/mod.rs:18-28):
       mesh_sphere     [Me, 4] f32
       mesh_aabb       [Me, 2, 3] f32
@@ -174,7 +182,7 @@ class AssetArrays:
     mlet_cone: jax.Array
     mlet_material: jax.Array
     tri_pos: jax.Array
-    tri_attrs: jax.Array
+    tri_ac: jax.Array
 
     mesh_sphere: jax.Array
     mesh_aabb: jax.Array
@@ -215,8 +223,8 @@ def empty_asset_numpy(caps: AssetCaps) -> dict:
             [np.zeros((M, 3), np.float32), np.ones((M, 1), np.float32)], axis=1
         ),
         mlet_material=np.zeros((M,), np.int32),
-        tri_pos=np.zeros((M, MAX_MESHLET_TRIANGLES, 3, 3), np.float32),
-        tri_attrs=np.zeros((M, MAX_MESHLET_TRIANGLES, 3, 9), np.float32),
+        tri_pos=np.zeros((M, MAX_MESHLET_TRIANGLES * 9), np.float32),
+        tri_ac=np.zeros((M, CA_ROWS, MAX_MESHLET_TRIANGLES), np.float32),
         mesh_sphere=np.zeros((Me, 4), np.float32),
         mesh_aabb=np.zeros((Me, 2, 3), np.float32),
         mesh_lod_offset=np.zeros((Me, MAX_LODS), np.int32),

@@ -125,7 +125,7 @@ def build_overlay(
         n_mlet = -(-T // 64)
         mids = base + jnp.arange(n_mlet, dtype=jnp.int32)
         okm = jnp.arange(n_mlet) < count
-        tp = assets.tri_pos[mids]  # [n, 64, 3, 3] model space
+        tp = assets.tri_pos[mids].reshape(-1, 64, 3, 3)  # model space
         tcnt = assets.mlet_tcount[mids]
         tri_ok = (
             okm[:, None]

@@ -199,13 +199,14 @@ def render_shadow_cascades(
         )
         geom = process_geometry(
             assets, im, scene.entity_model[ie], view.view_proj, S, S,
-            inst_valid=draw_m, with_attrs=use_alpha,
+            inst_valid=draw_m,
         )
         if use_alpha:
             from orbit_tpu.raster import rasterize_gbuffer
 
             depth, _, _, bins = rasterize_gbuffer(
-                geom, S, S, cfg, alpha_masks=assets.alpha_masks
+                geom, S, S, cfg, tri_ac=assets.tri_ac,
+                alpha_masks=assets.alpha_masks,
             )
         else:
             depth, _, bins = rasterize(geom, S, S, cfg)

@@ -246,6 +246,7 @@ class Pipeline:
                 geom, H, W, raster_cfg, init=init, vis_base_offset=base,
                 row_window=row_window, tiled_io=tiled_io,
                 alpha_masks=assets.alpha_masks if self.use_alpha else None,
+                tri_ac=assets.tri_ac,
             )
             return dict(
                 ie=ie, im=im, il=il, iv=iv, vis_m=vis_m, vis_e=vis_e,

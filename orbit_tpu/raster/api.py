@@ -102,13 +102,17 @@ def rasterize_gbuffer(
     row_window=None,
     tiled_io: bool = False,
     alpha_masks=None,
+    tri_ac=None,
 ):
     """G-buffer raster: returns (depth, vis, gbuf [GB_ROWS,H,W], bins).
 
+    tri_ac: the asset-side corner-attr array (assets.tri_ac) the kernel
+    gathers per pair by meshlet id (geom.inst_mid).
     row_window: see `rasterize`. tiled_io: exchange framebuffers in the
     kernel's native tile layout (raster.layout) — no image transposes.
     alpha_masks: assets.alpha_masks when the scene has MASKED materials;
     enables the rasterizer's winner-level alpha test."""
+    assert tri_ac is not None, "rasterize_gbuffer requires assets.tri_ac"
     row0, local_h = _window(height, cfg, row_window)
     bins = bin_meshlets(
         geom.bbox,
@@ -126,20 +130,22 @@ def rasterize_gbuffer(
     backend = cfg.resolve_backend()
     if backend == "xla":
         depth, vis, gb = rasterize_xla_gbuffer(
-            geom.setup, geom.attrs, bins, local_h, width,
+            geom.setup, tri_ac, bins, local_h, width,
             cfg.tile_h, cfg.tile_w,
             init=init, vis_base_offset=vis_base_offset,
             tile_row_offset=row0, tiled_io=tiled_io,
             alpha_masks=alpha_masks, inst_mask_slot=geom.mask_slot,
+            inst_mid=geom.inst_mid,
         )
     else:
         depth, vis, gb = rasterize_pallas_gbuffer(
-            geom.setup, geom.attrs, bins, local_h, width,
+            geom.setup, tri_ac, bins, local_h, width,
             cfg.tile_h, cfg.tile_w,
             interpret=(backend == "pallas_interpret"),
             init=init, vis_base_offset=vis_base_offset,
             tile_row_offset=row0, tiled_io=tiled_io,
             pairs_per_step=cfg.pairs_per_step,
             alpha_masks=alpha_masks, inst_mask_slot=geom.mask_slot,
+            inst_mid=geom.inst_mid,
         )
     return depth, vis, gb, bins

@@ -1,14 +1,16 @@
 """Geometry stage: meshlet triangle transform + setup (gather-free).
 
 Replaces the reference's vertex/mesh shaders (forward.vert:11-35,
-forward.mesh:18-63). TPU-first: per-triangle corner positions/attributes
-are pre-expanded at asset build (AssetArrays.tri_pos/tri_attrs), so this
-stage is a single [I]-row gather plus batched dense math — no per-corner
-gathers (which cost ~5ns/row on TPU and would dominate the frame).
+forward.mesh:18-63). TPU-first: per-triangle corner positions are
+pre-expanded at asset build (AssetArrays.tri_pos), so this stage is a
+single [I]-row gather plus batched dense math — no per-corner gathers
+(which cost ~5ns/row on TPU and would dominate the frame).
 
-Outputs both the edge/depth setup consumed by the rasterizer and the
-attribute-coefficient stream it interpolates in-kernel (kernel_common
-AC_* layout).
+Surface ATTRIBUTES are not touched here at all (v3): the rasterizer
+gathers per-corner attribute blocks straight from the load-time-baked
+asset array (AssetArrays.tri_ac, kernel_common CA_* layout) by meshlet
+id and interpolates in-kernel — the per-frame attribute stream this
+stage used to materialize (~45 ms at bench scale) no longer exists.
 
 Vis-buffer id convention: vis = slot * 64 + local_tri + 1; 0 = background.
 """
@@ -20,25 +22,6 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from orbit_tpu.raster.kernel_common import (
-    AC_A,
-    AC_MASK_SLOT,
-    AC_B,
-    AC_BASE,
-    AC_C,
-    AC_CTEX,
-    AC_EMISSIVE,
-    AC_MATID,
-    AC_METALLIC,
-    AC_ROUGHNESS,
-    AC_ROWS,
-    ACH_NRM,
-    ACH_S,
-    ACH_TAN,
-    ACH_U,
-    ACH_V,
-)
-
 
 @jax.tree_util.register_dataclass
 @dataclass
@@ -47,23 +30,24 @@ class GeometryBuffers:
 
     setup:     [I, 64, 12] f32 (E0: ax,ay,c | E1 | E2 | Z: za,zb,zc),
                pixel-space homogeneous; invalid tris get all-reject coeffs
-    attrs:     [I, AC_ROWS, 64] f32 attribute-coefficient stream
-               (transposed: rows=channels, lanes=triangles)
     tri_valid: [I, 64] bool
     bbox:      [I, 4] f32 screen-space meshlet bounds (minx,miny,maxx,maxy)
     inst_valid:[I] bool
     max_z:     [I] f32 conservative max NDC depth over the meshlet's valid
                triangles (reverse-Z: larger = nearer). Drives front-to-back
                pair ordering and the rasterizer's per-pair early-z skip.
+    inst_mid:  [I] i32 meshlet id per instance — the rasterizer's key into
+               the asset-side tri_ac corner-attr array
+    mask_slot: [I] i32 alpha-mask slot per instance (-1 none)
     """
 
     setup: jax.Array
-    attrs: jax.Array
     tri_valid: jax.Array
     bbox: jax.Array
     inst_valid: jax.Array
     max_z: jax.Array
-    mask_slot: jax.Array  # [I] i32 alpha-mask slot per instance (-1 none)
+    inst_mid: jax.Array
+    mask_slot: jax.Array
 
 
 def process_geometry(
@@ -76,11 +60,9 @@ def process_geometry(
     inst_valid=None,
     two_sided: bool = False,
     w_eps: float = 1e-4,
-    with_attrs: bool = True,
 ) -> GeometryBuffers:
     """meshlet_ids: [I] i32 (compacted visible list); entity_matrices
-    [I,4,4]. with_attrs=False skips the attribute stream (depth-only views
-    such as shadow cascades)."""
+    [I,4,4]."""
     # gather as 2D rows (row-major both sides) so XLA does NOT relayout
     # the whole asset array every frame (a [M,64,3,9] gather was choosing
     # a transposed parameter layout + full-store copy: ~6 ms/frame)
@@ -108,20 +90,8 @@ def process_geometry(
         clip, tri_in_range, width, height, two_sided, w_eps
     )
 
-    if with_attrs:
-        tri_attrs = (
-            assets.tri_attrs.reshape(M, -1)[meshlet_ids]
-            .reshape(I, 64, 3, 9)
-        )  # [I,64,3,9]
-        mats = jnp.maximum(assets.mlet_material[meshlet_ids], 0)  # [I]
-        attrs = attribute_setup(edges, valid, tri_attrs, assets, mats)
-        mask_slot = assets.mat_mask_slot[mats]
-    else:
-        attrs = jnp.zeros(
-            (clip.shape[0], AC_ROWS, clip.shape[1]), jnp.float32
-        )
-        mats = jnp.maximum(assets.mlet_material[meshlet_ids], 0)
-        mask_slot = assets.mat_mask_slot[mats]
+    mats = jnp.maximum(assets.mlet_material[meshlet_ids], 0)
+    mask_slot = assets.mat_mask_slot[mats]
 
     iv = (
         inst_valid
@@ -129,8 +99,8 @@ def process_geometry(
         else jnp.ones(clip.shape[0], dtype=bool)
     )
     return GeometryBuffers(
-        setup=setup, attrs=attrs, tri_valid=valid, bbox=bbox, inst_valid=iv,
-        max_z=max_z, mask_slot=mask_slot,
+        setup=setup, tri_valid=valid, bbox=bbox, inst_valid=iv,
+        max_z=max_z, inst_mid=meshlet_ids, mask_slot=mask_slot,
     )
 
 
@@ -270,63 +240,3 @@ def triangle_setup_corners(
     )  # [I,T]
     max_z = jnp.max(jnp.where(valid, tri_maxz, -1.0), axis=1)  # [I]
     return setup, flipped_edges, valid, bbox, max_z
-
-
-def attribute_setup(edges, valid, tri_attrs, assets, mats):
-    """Build the [I, AC_ROWS, 64] attribute-coefficient stream.
-
-    Interpolated channels: numerator coeffs = sum_i f_i * e_i (with the
-    same flipped edge coefficients the rasterizer evaluates, so the ratio
-    attr = num/S is exactly the perspective-correct interpolant).
-    Constant channels: per-meshlet material parameters broadcast over the
-    triangle lane axis (baked here so shading needs NO material gathers).
-    """
-    (e0x, e0y, e0c), (e1x, e1y, e1c), (e2x, e2y, e2c) = edges
-    I, T = e0x.shape
-
-    def num_coeffs(f):
-        # f: [I,T,3] per-corner values -> (a, b, c) [I,T] each
-        return (
-            f[..., 0] * e0x + f[..., 1] * e1x + f[..., 2] * e2x,
-            f[..., 0] * e0y + f[..., 1] * e1y + f[..., 2] * e2y,
-            f[..., 0] * e0c + f[..., 1] * e1c + f[..., 2] * e2c,
-        )
-
-    rows = [None] * AC_ROWS
-
-    def put3(ch, trip):
-        # plane-major: a-coefficient, b-coefficient, constant planes
-        rows[AC_A + ch], rows[AC_B + ch], rows[AC_C + ch] = trip
-
-    put3(ACH_U, num_coeffs(tri_attrs[..., :, 0]))
-    put3(ACH_V, num_coeffs(tri_attrs[..., :, 1]))
-    put3(ACH_S, (e0x + e1x + e2x, e0y + e1y + e2y, e0c + e1c + e2c))
-    for k in range(3):
-        put3(ACH_NRM + k, num_coeffs(tri_attrs[..., :, 2 + k]))
-    for k in range(4):
-        put3(ACH_TAN + k, num_coeffs(tri_attrs[..., :, 5 + k]))
-
-    def const(v):
-        # v: [I] -> broadcast [I,T]
-        return jnp.broadcast_to(v[:, None], (I, T))
-
-    base = assets.mat_base_color[mats]  # [I,4]
-    for k in range(4):
-        rows[AC_BASE + k] = const(base[:, k])
-    emis = assets.mat_emissive[mats]
-    for k in range(3):
-        rows[AC_EMISSIVE + k] = const(emis[:, k])
-    rows[AC_METALLIC] = const(assets.mat_metallic[mats])
-    rows[AC_ROUGHNESS] = const(assets.mat_roughness[mats])
-    rows[AC_MASK_SLOT] = const(
-        assets.mat_mask_slot[mats].astype(jnp.float32)
-    )
-    rows[AC_CTEX] = const(assets.mat_ctex[mats].astype(jnp.float32))
-    rows[AC_MATID] = const(mats.astype(jnp.float32))
-    zero = jnp.zeros((I, T), jnp.float32)
-    rows = [zero if r is None else r for r in rows]
-    # build [I, AC_ROWS, T] directly. Invalid triangles keep their rows:
-    # they can never win (their edge setup rejects every pixel), and the
-    # kernel broadcasts per-meshlet constants from triangle lane 0, which
-    # must stay populated even when triangle 0 is culled.
-    return jnp.stack(rows, axis=1)

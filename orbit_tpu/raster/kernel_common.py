@@ -24,44 +24,36 @@ VIS_TRI_BITS = 6  # 64 triangles per meshlet
 VIS_NONE = 0  # background visibility id
 
 # ---------------------------------------------------------------------------
-# Attribute-coefficient stream layout (v2 in-raster interpolation).
+# Corner-attribute block layout (v3 in-raster interpolation).
 #
-# Per-pixel HBM gathers cost ~5 ns/row on TPU (see MEMORY: axon-tpu-quirks),
-# so the rasterizer interpolates ALL surface attributes in-kernel: the
-# geometry stage emits, per triangle, affine numerator coefficients
-#   attr(p) = (a*px + b*py + c) / S(p),  S = sum of the edge functionals
-# plus per-meshlet material constants. Layout [I, AC_ROWS, 64]: rows =
-# channels below, lanes = triangles (transposed for the in-kernel winner
-# select). The affine coefficients are stored PLANE-MAJOR — all a-rows,
-# then all b-rows, then all c-rows, channels in ACH_* order within each
-# plane — so the evaluation num = A*x + B*y + C runs as dense [10, NP]
-# vector ops at full sublane occupancy instead of [1, NP] row ops (8x
-# fewer vector instructions; this was the rasterizer's hottest loop).
-# Per-TRIANGLE affine rows come first (rows < AC_SELECT_ROWS go through
-# the per-pixel winner select); per-MESHLET constant rows follow in
-# EXACTLY the G-buffer's GB_BASE..GB_MATID order so they copy over as one
-# dense block. All selection is exact f32: the coefficients are
-# pixel-scale x w magnitude and the affine evaluation cancels
-# catastrophically, so bf16 selection is NOT allowed.
-ACH_U = 0         # channel order within each a/b/c plane
-ACH_V = 1
-ACH_S = 2         # denominator: sum of edge coefficients
-ACH_NRM = 3       # normal xyz
-ACH_TAN = 6       # tangent xyzw
-ACH_N = 10        # affine channels per plane
-AC_A = 0          # a-plane rows (coefficient of px)
-AC_B = 10         # b-plane rows (coefficient of py)
-AC_C = 20         # c-plane rows (constant)
-AC_SELECT_ROWS = 32  # rows 0..31 go through the winner select (30 used)
-AC_BASE = 32      # base color RGBA constants (4) — GB order from here
-AC_EMISSIVE = 36  # emissive RGB constants (3)
-AC_METALLIC = 39
-AC_ROUGHNESS = 40
-AC_MASK_SLOT = 41   # alpha-mask slot id (float, -1 = opaque)
-AC_CTEX = 42      # combined-texture layer id (float-encoded, -1 none)
-AC_MATID = 43     # material id (float-encoded, for debug modes)
-AC_CONST_ROWS = 12  # AC_BASE..AC_MATID, contiguous, == GB constant rows
-AC_ROWS = 48      # padded to a multiple of 8 sublanes
+# Per-pixel HBM gathers cost ~5 ns/row on TPU, so the rasterizer
+# interpolates ALL surface attributes in-kernel. v3 goes further than the
+# v2 per-instance coefficient stream: the per-TRIANGLE data is baked ONCE
+# at asset load into `tri_ac` [M, CA_ROWS, 64] (rows = channels below,
+# lanes = triangles) and the kernel gathers it per pair BY MESHLET ID —
+# no per-frame [I, rows, 64] materialization at all (at bench scale that
+# stream plus its layout copies was ~45 ms/frame). Interpolation uses the
+# winning triangle's raw corner values f_i with the edge functionals E_i
+# the kernel already evaluates from `setup`:
+#   attr(p) = (f_0 E_0(p) + f_1 E_1(p) + f_2 E_2(p)) / (E_0+E_1+E_2)(p)
+# which is the same perspective-correct rational interpolant as v2
+# (numerators regrouped), exact in f32.
+#
+# Rows 0..26 are corner-major per-corner values: row c*9 + ch with
+# ch in (u, v, nx, ny, nz, tx, ty, tz, tw) — so f_c = rows [c*9, c*9+9)
+# slice densely. Rows CA_BASE.. are per-meshlet material constants in
+# EXACTLY the G-buffer's GB_BASE..GB_MATID order, broadcast across all 64
+# lanes so the same one-hot winner select returns them unchanged.
+CA_CH = 9         # per-corner channels: u v nx ny nz tx ty tz tw
+CA_BASE = 32      # base color RGBA constants (4) — GB order from here
+CA_EMISSIVE = 36  # emissive RGB constants (3)
+CA_METALLIC = 39
+CA_ROUGHNESS = 40
+CA_MASK_SLOT = 41   # alpha-mask slot id (float, -1 = opaque)
+CA_CTEX = 42      # combined-texture layer id (float-encoded, -1 none)
+CA_MATID = 43     # material id (float-encoded, for debug modes)
+CA_CONST_ROWS = 12  # CA_BASE..CA_MATID, contiguous, == GB constant rows
+CA_ROWS = 48      # padded to a multiple of 8 sublanes
 
 # G-buffer row layout emitted by the rasterizer, per tile
 GB_U = 0
@@ -118,47 +110,53 @@ def raster_meshlet_on_tile(setup_m, vis_base, xs, ys, depth, vis,
     return new_depth, new_vis
 
 
-def eval_gbuffer_channels(sel, xs, ys):
+def eval_gbuffer_channels(sel_f, sel_s, xs, ys):
     """Evaluate interpolated surface channels from the winning triangle's
-    selected coefficient rows. Rank-2 throughout (Mosaic-friendly).
+    selected rows. Rank-2 throughout (Mosaic-friendly).
 
-    sel: [AC_ROWS, NP] (per-pixel coefficients after the one-hot select,
-    plane-major — see AC_* layout)
-    xs, ys: [NP] or [1, NP] pixel centers.
-    Returns [GB_ROWS, NP] — see GB_* layout. All attributes are rational
-    interpolants attr = (a*px + b*py + c) / S with analytic screen
-    derivatives for the uv channels (used for texture LOD). The affine
-    evaluation runs as dense [ACH_N, NP] blocks (full sublane occupancy).
+    sel_f: [CA_ROWS, NP] per-pixel corner-attr rows after the winner
+    select (see CA_* layout); sel_s: [12, NP] the winner's edge/depth
+    setup coefficients. xs, ys: [NP] or [1, NP] pixel centers.
+    Returns [GB_ROWS, NP] — see GB_* layout. All attributes are the
+    perspective-correct rational interpolants
+      attr = (f0*E0 + f1*E1 + f2*E2) / (E0+E1+E2)
+    with analytic screen derivatives for the uv channels (texture LOD).
+    The corner blend runs as dense [CA_CH, NP] vector ops.
     """
     x = xs.reshape(1, -1)
     y = ys.reshape(1, -1)
 
-    A = sel[AC_A : AC_A + ACH_N]  # [10, NP]
-    B = sel[AC_B : AC_B + ACH_N]
-    C = sel[AC_C : AC_C + ACH_N]
-    num = A * x + B * y + C  # [10, NP] dense
-
-    s_val = num[ACH_S : ACH_S + 1]
+    e0 = sel_s[0:1] * x + sel_s[1:2] * y + sel_s[2:3]  # [1, NP]
+    e1 = sel_s[3:4] * x + sel_s[4:5] * y + sel_s[5:6]
+    e2 = sel_s[6:7] * x + sel_s[7:8] * y + sel_s[8:9]
+    s_val = e0 + e1 + e2
     inv_s = 1.0 / jnp.where(jnp.abs(s_val) < 1e-24, 1.0, s_val)
-    att = num * inv_s  # [10, NP] dense
-    u = att[ACH_U : ACH_U + 1]
-    v = att[ACH_V : ACH_V + 1]
-    # d(U/S)/dx = (Ua - u*Sa)/S etc.
-    a_s = A[ACH_S : ACH_S + 1]
-    b_s = B[ACH_S : ACH_S + 1]
-    dudx = (A[ACH_U : ACH_U + 1] - u * a_s) * inv_s
-    dvdx = (A[ACH_V : ACH_V + 1] - v * a_s) * inv_s
-    dudy = (B[ACH_U : ACH_U + 1] - u * b_s) * inv_s
-    dvdy = (B[ACH_V : ACH_V + 1] - v * b_s) * inv_s
+
+    f0 = sel_f[0:CA_CH]  # [9, NP] corner 0 values
+    f1 = sel_f[CA_CH : 2 * CA_CH]
+    f2 = sel_f[2 * CA_CH : 3 * CA_CH]
+    num = f0 * e0 + f1 * e1 + f2 * e2  # [9, NP] dense
+    att = num * inv_s
+    u = att[0:1]
+    v = att[1:2]
+    # numerator x/y gradients are constant per triangle:
+    #   dN/dx = f0*e0x + f1*e1x + f2*e2x   (uv channels only)
+    a_s = sel_s[0:1] + sel_s[3:4] + sel_s[6:7]  # dS/dx
+    b_s = sel_s[1:2] + sel_s[4:5] + sel_s[7:8]  # dS/dy
+    dn_x = f0[0:2] * sel_s[0:1] + f1[0:2] * sel_s[3:4] + f2[0:2] * sel_s[6:7]
+    dn_y = f0[0:2] * sel_s[1:2] + f1[0:2] * sel_s[4:5] + f2[0:2] * sel_s[7:8]
+    duv_dx = (dn_x - att[0:2] * a_s) * inv_s  # [2, NP] (du/dx, dv/dx)
+    duv_dy = (dn_y - att[0:2] * b_s) * inv_s
 
     rows = [
-        u, v, dudx, dvdx, dudy, dvdy,
-        att[ACH_NRM : ACH_NRM + 7],  # normal xyz + tangent xyzw
-        sel[AC_BASE : AC_BASE + AC_CONST_ROWS],  # constants, GB order
+        u, v,
+        duv_dx[0:1], duv_dx[1:2], duv_dy[0:1], duv_dy[1:2],
+        att[2:9],  # normal xyz + tangent xyzw
+        sel_f[CA_BASE : CA_BASE + CA_CONST_ROWS],  # constants, GB order
     ]
-    pad = GB_ROWS - (6 + 7 + AC_CONST_ROWS)
+    pad = GB_ROWS - (6 + 7 + CA_CONST_ROWS)
     if pad > 0:
-        rows.append(jnp.zeros((pad, x.shape[1]), sel.dtype))
+        rows.append(jnp.zeros((pad, x.shape[1]), sel_f.dtype))
     return jnp.concatenate(rows, axis=0)
 
 
@@ -183,10 +181,11 @@ def raster_meshlet_gbuffer(
 ):
     """G-buffer variant of raster_meshlet_on_tile. Rank-2 pure.
 
-    setup_m: [64, 12]; attrs_m: [AC_ROWS, 64]; xs/ys/depth: [NP] flat;
-    vis: [NP] i32; gb: [GB_ROWS, NP]. Returns (depth, vis, gb).
-    The winning triangle's coefficient rows are selected with a one-hot
-    matmul (MXU) and evaluated per pixel — zero memory gathers.
+    setup_m: [64, 12]; attrs_m: [CA_ROWS, 64] (the meshlet's tri_ac
+    block); xs/ys/depth: [NP] flat; vis: [NP] i32; gb: [GB_ROWS, NP].
+    Returns (depth, vis, gb).
+    The winning triangle's corner-attr rows AND setup coefficients are
+    selected per pixel and evaluated — zero memory gathers.
     pix_mask: see raster_meshlet_on_tile.
     alpha_masks/mask_slot: winner-level alpha test for MASKED materials
     (reference: per-fragment `discard` in forward_depth_prepass.frag /
@@ -214,16 +213,18 @@ def raster_meshlet_gbuffer(
     best_tri = jnp.argmax(cand, axis=0).astype(jnp.int32)
     win = best_z > depth
 
-    # exact select of the winner's coefficient rows (the Pallas kernel
-    # uses tpu.dynamic_gather; this must match it bit-for-bit)
-    sel = attrs_m[:, best_tri]  # [AC, NP]
-    channels = eval_gbuffer_channels(sel, xs, ys)
+    # exact select of the winner's rows (the Pallas kernel uses a one-hot
+    # MXU matmul; a one-hot select is exact in either form, so the two
+    # paths stay bit-identical)
+    sel_f = attrs_m[:, best_tri]  # [CA_ROWS, NP]
+    sel_s = setup_m[best_tri].T  # [12, NP]
+    channels = eval_gbuffer_channels(sel_f, sel_s, xs, ys)
 
     if alpha_masks is not None:
         ms = (
             mask_slot
             if mask_slot is not None
-            else jnp.round(attrs_m[AC_MASK_SLOT, 0]).astype(jnp.int32)
+            else jnp.round(attrs_m[CA_MASK_SLOT, 0]).astype(jnp.int32)
         )
         ui, vi = alpha_mask_texel_index(channels[GB_U], channels[GB_V])
         a = alpha_masks[jnp.maximum(ms, 0) * ALPHA_MASK_RES + vi, ui]

@@ -29,8 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from orbit_tpu.raster.binning import BinLists
 from orbit_tpu.raster.kernel_common import (
-    AC_ROWS,
-    AC_SELECT_ROWS,
+    CA_ROWS,
     GB_OVERDRAW,
     GB_ROWS,
     eval_gbuffer_channels,
@@ -324,7 +323,7 @@ def rasterize_pallas(
 
 
 def _gbuffer_kernel(
-    meta_ref, tq_ref, pslot_ref, rowoff_ref, *refs,
+    meta_ref, tq_ref, pslot_ref, pmid_ref, rowoff_ref, *refs,
     tile_h, tile_w, ntx, vis_base_offset, pack, use_alpha,
 ):
     setup_refs = refs[:pack]
@@ -449,49 +448,36 @@ def _gbuffer_kernel(
         # for pairs that won any pixel — occluded ones skip it. The
         # alpha test refines the win mask BEFORE depth/vis/gb commit.
         @pl.when(active & (won_ref[0, 0] == 1))
-        def _(j=j, r=r, vis_base=vis_base, mslot=mslot):
+        def _(j=j, r=r, s=s, vis_base=vis_base, mslot=mslot):
             flat = jax.lax.broadcasted_iota(jnp.int32, (1, tpx), 1)
             col = (flat % tile_w).astype(jnp.float32)
             row = (flat // tile_w).astype(jnp.float32)
             xs = tx * tile_w + col + 0.5  # [1, TPX]
             ys = ty * tile_h + row + 0.5
 
-            # select the winning triangle's per-triangle affine rows with
-            # tpu.dynamic_gather over [8,128] register chunks (exact f32:
-            # the coefficients cancel catastrophically in bf16). The
-            # per-meshlet constant rows are identical for all triangles
-            # and broadcast from lane 0 instead of being selected.
-            attrs_m = attrs_refs[j][0]  # [AC_ROWS, 64]
-            attrs_w = jnp.concatenate(
-                [attrs_m[:AC_SELECT_ROWS], attrs_m[:AC_SELECT_ROWS]],
-                axis=1,
-            )  # lanes->128
+            # winner select as ONE-HOT MXU MATMULS: both the corner-attr
+            # rows (tri_ac block, gathered from the ASSET array by
+            # meshlet id — never materialized per frame) and the winning
+            # triangle's 12 setup coefficients. A one-hot select is
+            # EXACT in f32 (products v*1 and v*0, one nonzero addend),
+            # so it matches the XLA twin's gather bit-for-bit.
+            attrs_m = attrs_refs[j][0]  # [CA_ROWS, 64] tri_ac block
             bt = bt_s[...]  # stale ids in skipped chunks; masked by winm
-            idx8s = [
-                jnp.broadcast_to(
-                    jnp.clip(bt[0:1, px * 128 : (px + 1) * 128], 0, 127),
-                    (8, 128),
-                )
-                for px in range(tpx // 128)
-            ]
+            oh = (
+                jax.lax.broadcasted_iota(jnp.int32, (64, tpx), 0)
+                == jnp.broadcast_to(bt, (64, tpx))
+            ).astype(jnp.float32)
+            sel_f = jax.lax.dot_general(
+                attrs_m, oh, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [CA_ROWS, TPX]
+            sel_s = jax.lax.dot_general(
+                s, oh, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [12, TPX]
 
-            def build_sel(sel_scratch):
-                for cb in range(AC_SELECT_ROWS // 8):
-                    xrows = attrs_w[cb * 8 : (cb + 1) * 8, :]  # [8, 128]
-                    for px in range(tpx // 128):
-                        sel_scratch[
-                            pl.ds(cb * 8, 8), pl.ds(px * 128, 128)
-                        ] = jnp.take_along_axis(xrows, idx8s[px], axis=1)
-                # per-meshlet constant rows: one dense broadcast block
-                n_const = AC_ROWS - AC_SELECT_ROWS
-                sel_scratch[pl.ds(AC_SELECT_ROWS, n_const), :] = (
-                    jnp.broadcast_to(
-                        attrs_m[AC_SELECT_ROWS:AC_ROWS, 0:1],
-                        (n_const, tpx),
-                    )
-                )
-                sel = sel_scratch[...]
-                channels = eval_gbuffer_channels(sel, xs, ys)
+            def commit(_unused):
+                channels = eval_gbuffer_channels(sel_f, sel_s, xs, ys)
 
                 if use_alpha:
                     # winner-level alpha test against the material's
@@ -550,9 +536,7 @@ def _gbuffer_kernel(
                     winm, channels[:GB_OVERDRAW], cur_g
                 )
 
-            pl.run_scoped(
-                build_sel, pltpu.VMEM((AC_ROWS, tpx), jnp.float32)
-            )
+            commit(None)
             cur_min_ref[0, 0] = jnp.min(depth_ref[pl.ds(r, 1), :])
 
 
@@ -572,8 +556,12 @@ def rasterize_pallas_gbuffer(
     pairs_per_step: int = 1,
     alpha_masks=None,
     inst_mask_slot=None,
+    inst_mid=None,
 ):
-    """G-buffer rasterizer. setup: [I,64,12]; attrs: [I, AC_ROWS, 64].
+    """G-buffer rasterizer. setup: [I,64,12]; attrs: the ASSET-side
+    corner-attr array tri_ac [M, CA_ROWS, 64] (baked once at load),
+    gathered in-kernel per pair by meshlet id — inst_mid [I] i32 maps
+    instance slots to meshlet ids.
 
     Returns (depth [H,W], vis [H,W], gbuf [GB_ROWS, H, W]).
     init: optional (depth, vis, gbuf) composited under this pass.
@@ -632,13 +620,13 @@ def rasterize_pallas_gbuffer(
 
     fb_spec = pl.BlockSpec(
         (_GROUP, tpx),
-        lambda p, meta, tq, ps, ro: (
+        lambda p, meta, tq, ps, pm, ro: (
             (tq[p * pack] & 0x3FFFF) // _GROUP, 0
         ),
     )
     gb_spec = pl.BlockSpec(
         (_GROUP * GB_ROWS, tpx),
-        lambda p, meta, tq, ps, ro: (
+        lambda p, meta, tq, ps, pm, ro: (
             (tq[p * pack] & 0x3FFFF) // _GROUP, 0
         ),
     )
@@ -647,33 +635,43 @@ def rasterize_pallas_gbuffer(
         f"pair capacity {P} must be a multiple of {chunk} for chaining"
     )
 
-    # per-pair setup/attrs blocks are gathered IN-KERNEL from the
-    # [I, ...] arrays: block index maps read each pair's slot from the
-    # prefetched pslot array (Pallas double-buffers the DMAs). This
-    # replaces the [P, 64, 12] + [P, AC_ROWS, 64] HBM pre-gathers and
-    # their layout copies — at bench scale ~2.4 GB/frame of traffic.
+    # per-pair setup blocks are gathered IN-KERNEL from the [I, 64, 12]
+    # per-frame array (index = instance slot, via prefetched pslot) and
+    # corner-attr blocks from the [M, CA_ROWS, 64] ASSET array (index =
+    # meshlet id, via prefetched pmid); Pallas double-buffers the DMAs.
+    # This replaces the [P, 64, 12] + [P, rows, 64] HBM pre-gathers AND
+    # the entire per-frame attribute-stream materialization.
     def _slot_spec(shape, j):
         return pl.BlockSpec(
             (1,) + shape,
             functools.partial(
-                lambda p, meta, tq, ps, ro, j: (ps[p * pack + j], 0, 0),
+                lambda p, meta, tq, ps, pm, ro, j: (ps[p * pack + j], 0, 0),
+                j=j,
+            ),
+        )
+
+    def _mid_spec(shape, j):
+        return pl.BlockSpec(
+            (1,) + shape,
+            functools.partial(
+                lambda p, meta, tq, ps, pm, ro, j: (pm[p * pack + j], 0, 0),
                 j=j,
             ),
         )
 
     in_specs = [_slot_spec((64, 12), j) for j in range(pack)]
-    in_specs += [_slot_spec((AC_ROWS, 64), j) for j in range(pack)]
+    in_specs += [_mid_spec((CA_ROWS, 64), j) for j in range(pack)]
     if use_alpha:
         # the whole mask atlas stays VMEM-resident (constant block index)
         in_specs.append(
             pl.BlockSpec(
-                alpha_masks.shape, lambda p, meta, tq, ps, ro: (0, 0)
+                alpha_masks.shape, lambda p, meta, tq, ps, pm, ro: (0, 0)
             )
         )
     in_specs += [fb_spec, fb_spec, gb_spec]
     n_lead = 2 * pack + (1 if use_alpha else 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(chunk // pack,),
         in_specs=in_specs,
         out_specs=[fb_spec, fb_spec, gb_spec],
@@ -686,6 +684,8 @@ def rasterize_pallas_gbuffer(
         ],
     )
 
+    if inst_mid is None:
+        inst_mid = jnp.zeros((setup.shape[0],), jnp.int32)
     depth_t, vis_t, gb_t = init_d, init_v, init_g
     for c in range(P // chunk):
         s = slice(c * chunk, (c + 1) * chunk)
@@ -694,12 +694,13 @@ def rasterize_pallas_gbuffer(
             inst_mask_slot=inst_mask_slot if use_alpha else None,
         )
         pslot = jnp.maximum(bins.pair_slot[s], 0)
-        operands = [meta, tq, pslot, rowoff]
+        pmid = inst_mid[pslot]
+        operands = [meta, tq, pslot, pmid, rowoff]
         operands += [setup] * pack + [attrs] * pack
         if use_alpha:
             operands.append(alpha_masks)
         operands += [depth_t, vis_t, gb_t]
-        base_io = 4 + n_lead  # prefetch args + leading operands
+        base_io = 5 + n_lead  # prefetch args + leading operands
         depth_t, vis_t, gb_t = pl.pallas_call(
             functools.partial(
                 _gbuffer_kernel,

@@ -111,10 +111,12 @@ def rasterize_xla_gbuffer(
     setup, attrs, bins: BinLists, height, width, tile_h, tile_w,
     init=None, vis_base_offset: int = 0, tile_row_offset=0,
     tiled_io: bool = False, alpha_masks=None, inst_mask_slot=None,
+    inst_mid=None,
 ):
     """G-buffer rasterizer (XLA fallback / differential reference).
 
-    setup: [I,64,12]; attrs: [I, AC_ROWS, 64].
+    setup: [I,64,12]; attrs: the asset-side corner-attr array tri_ac
+    [M, CA_ROWS, 64]; inst_mid: [I] i32 meshlet id per instance slot.
     Returns (depth [H,W], vis [H,W], gbuf [GB_ROWS, H, W]).
     init: optional (depth, vis, gbuf) to composite over.
     tiled_io: exchange buffers in the Pallas kernel's tile layout (see
@@ -130,6 +132,8 @@ def rasterize_xla_gbuffer(
     setup_flat = setup.reshape(setup.shape[0], -1)
     attrs_flat = attrs.reshape(attrs.shape[0], -1)
     ac_rows = attrs.shape[1]
+    if inst_mid is None:
+        inst_mid = jnp.zeros((setup.shape[0],), jnp.int32)
 
     def to_tiles(img):
         pad_h, pad_w = nty * tile_h - height, ntx * tile_w - width
@@ -168,7 +172,7 @@ def rasterize_xla_gbuffer(
             depth, vis, gb, cur_min = carry
             slot = bins.pair_slot[start + k]
             setup_m = setup_flat[slot].reshape(-1, 12)
-            attrs_m = attrs_flat[slot].reshape(ac_rows, -1)
+            attrs_m = attrs_flat[inst_mid[slot]].reshape(ac_rows, -1)
             vis_base = ((slot + vis_base_offset) << VIS_TRI_BITS) + 1
             # early-z skip — mirrors the Pallas kernel; a skipped pair
             # contributes nothing, including overdraw coverage

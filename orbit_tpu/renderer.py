@@ -121,7 +121,9 @@ def render_frame(
     geom = process_geometry(
         assets, inst_meshlet, entity_mats, view.view_proj, W, H, inst_valid
     )
-    depth, vis, gb, bins = rasterize_gbuffer(geom, H, W, settings.raster)
+    depth, vis, gb, bins = rasterize_gbuffer(
+        geom, H, W, settings.raster, tri_ac=assets.tri_ac
+    )
 
     inv_vp = jnp.linalg.inv(view.view_proj)
     surface, gbuf = gbuffer_mod.surface_from_gbuffer(

@@ -42,9 +42,13 @@ def test_band_raster_bit_identical(helmet):
         assets, im, scene.entity_model[ie], view.view_proj, W, H,
         inst_valid=iv,
     )
-    d_full, v_full, g_full, _ = rasterize_gbuffer(geom, H, W, cfg)
+    d_full, v_full, g_full, _ = rasterize_gbuffer(
+        geom, H, W, cfg, tri_ac=assets.tri_ac
+    )
     band_fn = jax.jit(
-        lambda r0: rasterize_gbuffer(geom, H, W, cfg, row_window=(r0, 2))[:3]
+        lambda r0: rasterize_gbuffer(
+            geom, H, W, cfg, row_window=(r0, 2), tri_ac=assets.tri_ac
+        )[:3]
     )
     for b in range(4):
         d, v, g = band_fn(jnp.int32(b * 2))

@@ -33,11 +33,11 @@ def _sphere_setup():
         eye=(0.0, 0.0, 3.0), target=(0.0, 0.0, 0.0), aspect=W / H
     )
     geom = process_geometry(assets, meshlet_ids, mats, view.view_proj, W, H)
-    return geom, n
+    return geom, n, assets
 
 
 def test_geometry_produces_valid_tris():
-    geom, n = _sphere_setup()
+    geom, n, assets = _sphere_setup()
     valid = np.asarray(geom.tri_valid)
     assert valid.any()
     # roughly half the sphere's triangles are backfacing
@@ -50,7 +50,7 @@ def test_geometry_produces_valid_tris():
 
 
 def test_raster_xla_matches_numpy_ref():
-    geom, n = _sphere_setup()
+    geom, n, assets = _sphere_setup()
     bins = bin_meshlets(geom.bbox, geom.inst_valid, W, H, 16, 128, 1 << 10)
     assert not bool(bins.overflow)
     depth_x, vis_x = rasterize_xla(geom.setup, bins, H, W, 16, 128)
@@ -71,7 +71,7 @@ def test_raster_xla_matches_numpy_ref():
 
 
 def test_raster_pallas_interpret_matches_xla():
-    geom, n = _sphere_setup()
+    geom, n, assets = _sphere_setup()
     bins = bin_meshlets(geom.bbox, geom.inst_valid, W, H, 16, 128, 1 << 10)
     depth_x, vis_x = rasterize_xla(geom.setup, bins, H, W, 16, 128)
     depth_p, vis_p = rasterize_pallas(
@@ -82,7 +82,7 @@ def test_raster_pallas_interpret_matches_xla():
 
 
 def test_rasterize_api_end_to_end():
-    geom, n = _sphere_setup()
+    geom, n, assets = _sphere_setup()
     cfg = RasterConfig(backend="xla", pair_capacity=1 << 10)
     depth, vis, bins = rasterize(geom, H, W, cfg)
     assert depth.shape == (H, W) and vis.shape == (H, W)
@@ -140,7 +140,9 @@ def test_near_crossing_bbox_is_conservative():
     assert valid.any()
     # the scene must actually exercise the near-crossing path: some valid
     # triangle has a corner behind the near plane
-    tri_pos = np.asarray(assets.tri_pos)[np.asarray(meshlet_ids)]
+    tri_pos = np.asarray(assets.tri_pos)[np.asarray(meshlet_ids)].reshape(
+        -1, 64, 3, 3
+    )
     ph = np.concatenate([tri_pos, np.ones_like(tri_pos[..., :1])], axis=-1)
     mvp = np.einsum("ab,ibc->iac", np.asarray(view.view_proj), np.asarray(mats))
     w = np.einsum("iab,itcb->itca", mvp, ph)[..., 3]
@@ -167,17 +169,19 @@ def test_gbuffer_pallas_matches_xla_with_earlyz():
     from orbit_tpu.raster.raster_pallas import rasterize_pallas_gbuffer
     from orbit_tpu.raster.raster_xla import rasterize_xla_gbuffer
 
-    geom, n = _sphere_setup()
+    geom, n, assets = _sphere_setup()
     bins = bin_meshlets(
         geom.bbox, geom.inst_valid, W, H, 16, 128, 1 << 10,
         max_z=geom.max_z,
     )
     assert not bool(bins.overflow)
     d_x, v_x, g_x = rasterize_xla_gbuffer(
-        geom.setup, geom.attrs, bins, H, W, 16, 128
+        geom.setup, assets.tri_ac, bins, H, W, 16, 128,
+        inst_mid=geom.inst_mid,
     )
     d_p, v_p, g_p = rasterize_pallas_gbuffer(
-        geom.setup, geom.attrs, bins, H, W, 16, 128, interpret=True
+        geom.setup, assets.tri_ac, bins, H, W, 16, 128, interpret=True,
+        inst_mid=geom.inst_mid,
     )
     np.testing.assert_array_equal(np.asarray(d_p), np.asarray(d_x))
     np.testing.assert_array_equal(np.asarray(v_p), np.asarray(v_x))
@@ -187,7 +191,8 @@ def test_gbuffer_pallas_matches_xla_with_earlyz():
     # early-z discards occluded fragments like hardware early-Z would)
     bins_ns = bin_meshlets(geom.bbox, geom.inst_valid, W, H, 16, 128, 1 << 10)
     d_n, v_n, _ = rasterize_xla_gbuffer(
-        geom.setup, geom.attrs, bins_ns, H, W, 16, 128
+        geom.setup, assets.tri_ac, bins_ns, H, W, 16, 128,
+        inst_mid=geom.inst_mid,
     )
     np.testing.assert_array_equal(np.asarray(d_x), np.asarray(d_n))
     # vis can differ only on exact-z ties reordered by the depth sort

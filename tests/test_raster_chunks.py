@@ -38,10 +38,10 @@ def test_chained_calls_match_xla(monkeypatch):
         backend="xla", tile_h=16, tile_w=128, pair_capacity=2048
     )
     d_i, v_i, g_i, bins_i = jax.jit(
-        lambda: rasterize_gbuffer(geom, H, W, cfg_i)
+        lambda: rasterize_gbuffer(geom, H, W, cfg_i, tri_ac=assets.tri_ac)
     )()
     d_x, v_x, g_x, _ = jax.jit(
-        lambda: rasterize_gbuffer(geom, H, W, cfg_x)
+        lambda: rasterize_gbuffer(geom, H, W, cfg_x, tri_ac=assets.tri_ac)
     )()
     assert not bool(bins_i.overflow)
     assert (np.asarray(v_x) != 0).mean() > 0.05

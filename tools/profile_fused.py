@@ -105,7 +105,7 @@ def main():
                     rcfg = _rp(cfg.raster, pair_capacity=cap_pair)
                 d, v, g, bins = rasterize_gbuffer(
                     geom, H, W, rcfg, init=init, vis_base_offset=base,
-                    tiled_io=True,
+                    tiled_io=True, tri_ac=assets.tri_ac,
                 )
                 return (d, v, g, ie, il, iv, vis_m, vis_e)
 

@@ -84,9 +84,9 @@ def main():
             )
             devtime(
                 lambda s, a, b, th=th, tw=tw: rasterize_pallas_gbuffer(
-                    s, a, b, H, W, th, tw
+                    s, a, b, H, W, th, tw, inst_mid=geom.inst_mid
                 ),
-                geom.setup, geom.attrs, b2,
+                geom.setup, assets.tri_ac, b2,
                 name=f"  raster gbuffer    {th}x{tw} P={P}",
             )
 

@@ -1,7 +1,7 @@
 """Micro-benchmark the raster stages on the real TPU.
 
 Builds the bench scene's early-pass inputs once, then times in isolation:
-geometry (with/without attrs), binning, depth-only kernel, G-buffer
+geometry, binning, depth-only kernel, G-buffer
 kernel (normal + phase-2-suppressed via far-init depth), and the shade
 kernel inputs. This is the drill-down for deciding where kernel work
 goes (phase 1 vs phase 2 vs DMA).
@@ -89,16 +89,8 @@ def main():
             inst_valid=dm,
         )
     )
-    geom_noattr = jax.jit(
-        lambda a, s, im, ie, dm: process_geometry(
-            a, im, s.entity_model[ie], view.view_proj, W, H,
-            inst_valid=dm, with_attrs=False,
-        )
-    )
     t_geom = timeit(geom_full, assets, scene, im, ie, draw_m)
-    t_geom_na = timeit(geom_noattr, assets, scene, im, ie, draw_m)
-    print(f"geometry full:    {t_geom:8.2f} ms")
-    print(f"geometry noattrs: {t_geom_na:8.2f} ms")
+    print(f"geometry:         {t_geom:8.2f} ms")
 
     geom = jax.block_until_ready(geom_full(assets, scene, im, ie, draw_m))
 
@@ -124,9 +116,10 @@ def main():
     gbuf = jax.jit(
         lambda s, a, b: rasterize_pallas_gbuffer(
             s, a, b, H, W, 16, 128, pairs_per_step=8, tiled_io=True,
+            inst_mid=geom.inst_mid,
         )
     )
-    t_g = timeit(gbuf, geom.setup, geom.attrs, bins)
+    t_g = timeit(gbuf, geom.setup, assets.tri_ac, bins)
     print(f"gbuffer raster:   {t_g:8.2f} ms")
 
     # suppress phase 2: init depth = 1.0 everywhere -> nothing ever wins
@@ -140,10 +133,10 @@ def main():
     gbuf_p1 = jax.jit(
         lambda s, a, b, init: rasterize_pallas_gbuffer(
             s, a, b, H, W, 16, 128, pairs_per_step=8, tiled_io=True,
-            init=init,
+            init=init, inst_mid=geom.inst_mid,
         )
     )
-    t_g1 = timeit(gbuf_p1, geom.setup, geom.attrs, bins, init)
+    t_g1 = timeit(gbuf_p1, geom.setup, assets.tri_ac, bins, init)
     print(f"gbuffer phase1:   {t_g1:8.2f} ms   (phase2 ~ {t_g - t_g1:.2f})")
 
 

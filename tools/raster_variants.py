@@ -130,19 +130,20 @@ def main():
         )
         g_full = jax.jit(
             lambda s, a, b, pack=pack: rasterize_pallas_gbuffer(
-                s, a, b, H, W, 16, 128, pairs_per_step=pack, tiled_io=True
+                s, a, b, H, W, 16, 128, pairs_per_step=pack, tiled_io=True,
+                inst_mid=geom.inst_mid,
             )
         )
         g_skip = jax.jit(
             lambda s, a, b, init, pack=pack: rasterize_pallas_gbuffer(
                 s, a, b, H, W, 16, 128, pairs_per_step=pack, tiled_io=True,
-                init=init,
+                init=init, inst_mid=geom.inst_mid,
             )
         )
         t1 = timeit(d_full, geom.setup, bins)
         t2 = timeit(d_skip, geom.setup, bins, far_init)
-        t3 = timeit(g_full, geom.setup, geom.attrs, bins)
-        t4 = timeit(g_skip, geom.setup, geom.attrs, bins, far_init_g)
+        t3 = timeit(g_full, geom.setup, assets.tri_ac, bins)
+        t4 = timeit(g_skip, geom.setup, assets.tri_ac, bins, far_init_g)
         print(
             f"pack {pack:2d}: depth {t1:7.2f}  depth-skip {t2:7.2f}  "
             f"gbuf {t3:7.2f}  gbuf-skip {t4:7.2f}"
