@@ -64,7 +64,12 @@ def main():
         # aggressive distance LOD (the XL meshes carry steep 0.55x/level
         # chains, so far instances collapse to a handful of meshlets)
         cull=CullSettings(lod_base=3.0, lod_step=1.45),
-        instance_capacity=49152,
+        instance_capacity=65536,
+        # geometry/raster slot space tracks the real draw count via
+        # drawn-instance compaction; the late pass draws only the
+        # newly-visible difference (all overflow-asserted)
+        draw_capacity=32768,
+        late_draw_capacity=16384,
         late_pair_capacity=49152,
     )
     pipe = Pipeline(

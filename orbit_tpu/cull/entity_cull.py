@@ -144,3 +144,26 @@ def expand_instances(
     # per-entity meshlet visibility bitset addressing)
     inst_local = jnp.where(inst_valid, local, 0)
     return inst_entity, inst_meshlet, inst_local, inst_valid, total > capacity
+
+
+def compact_drawn(inst_entity, inst_meshlet, draw, capacity: int):
+    """Compact the drawn instances into a smaller slot space.
+
+    The meshlet-level cull leaves a sparse draw mask over the expanded
+    instance list; downstream geometry/raster cost scales with SLOT
+    CAPACITY, not the real draw count, so compacting first makes that
+    static cost track what actually draws (the TPU analog of the
+    reference's compacted indirect draw-command buffer,
+    meshlet_cull.comp:216-230). One scatter of source indices + two
+    cheap row gathers. Returns (ie, im, iv, overflow)."""
+    d = draw.astype(jnp.int32)
+    pos = jnp.cumsum(d) - d  # exclusive
+    total = pos[-1] + d[-1]
+    tgt = jnp.where(draw, pos, capacity)
+    src = jnp.zeros((capacity,), jnp.int32).at[tgt].set(
+        jnp.arange(draw.shape[0], dtype=jnp.int32), mode="drop"
+    )
+    cv = jnp.arange(capacity, dtype=jnp.int32) < total
+    ce = jnp.where(cv, inst_entity[src], 0)
+    cm = jnp.where(cv, inst_meshlet[src], 0)
+    return ce, cm, cv, total > capacity

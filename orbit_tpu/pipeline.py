@@ -110,6 +110,14 @@ class PipelineConfig:
     # static cost) can be much smaller
     late_instance_capacity: int = 0  # 0 = same as instance_capacity
     late_pair_capacity: int = 0  # 0 = same as raster.pair_capacity
+    # drawn-instance compaction: after the meshlet-level cull, compact
+    # the surviving instances into this many slots before geometry +
+    # raster (their static cost then tracks the real draw count, not the
+    # expansion capacity). 0 = no compaction. The late pass draws only
+    # the newly-visible difference, so its draw capacity can be tiny
+    # even though its EXPANSION capacity must cover every visible entity.
+    draw_capacity: int = 0
+    late_draw_capacity: int = 0
     render_mode: int = 0
     exposure: float = 1.0
     shadows: Optional["shadow_mod.ShadowSettings"] = None
@@ -238,18 +246,34 @@ class Pipeline:
                 use_cone=cfg.cull.cone,
                 **common,
             )
+            # drawn-instance compaction: geometry/raster slot space then
+            # tracks the real draw count, not the expansion capacity
+            # (crucial for the late pass, which expands every visible
+            # entity but draws only the newly-visible meshlets)
+            dcap = (
+                cfg.late_draw_capacity if late else cfg.draw_capacity
+            )
+            if dcap and dcap < cap_i:
+                from orbit_tpu.cull.entity_cull import compact_drawn
+
+                ce, cm, cv, ovf_c = compact_drawn(ie, im, draw_m, dcap)
+                ovf = ovf | ovf_c
+            else:
+                ce, cm, cv = ie, im, draw_m
             geom = process_geometry(
-                assets, im, scene.entity_model[ie], view.view_proj, W, H,
-                inst_valid=draw_m,
+                assets, cm, scene.entity_model[ce], view.view_proj, W, H,
+                inst_valid=cv,
             )
             depth, vis, gb, bins = rasterize_gbuffer(
                 geom, H, W, raster_cfg, init=init, vis_base_offset=base,
                 row_window=row_window, tiled_io=tiled_io,
                 alpha_masks=assets.alpha_masks if self.use_alpha else None,
                 tri_ac=assets.tri_ac,
+                overdraw=cfg.render_mode == 7,
             )
             return dict(
-                ie=ie, im=im, il=il, iv=iv, vis_m=vis_m, vis_e=vis_e,
+                ie=ce, im=cm, il=il, iv=cv, vis_m=vis_m, vis_e=vis_e,
+                full_ie=ie, full_il=il, full_iv=iv,
                 depth=depth, vis=vis, gb=gb,
                 overflow=ovf | bins.overflow,
             )
@@ -268,18 +292,21 @@ class Pipeline:
             pyramid = build_depth_pyramid(early_depth)
             late = run_pass(
                 PASS_LATE, pyramid, None,
-                (early["depth"], early["vis"], early["gb"]), C,
+                (early["depth"], early["vis"], early["gb"]),
+                cfg.draw_capacity or C,
             )
             depth, vis, gb = late["depth"], late["vis"], late["gb"]
             inst = (late["ie"], late["im"], late["iv"])
-            # write back visibility for next frame
+            # write back visibility for next frame — over the FULL
+            # (pre-compaction) instance list: every visible meshlet's
+            # bit must be written, drawn this frame or not
             new_state = VisibilityState(
                 entity_visible=late["vis_e"],
                 meshlet_visible=state.meshlet_visible,
             )
             new_state = scatter_meshlet_bits(
-                new_state, self.vis_offsets, late["ie"], late["il"],
-                late["iv"], late["vis_m"],
+                new_state, self.vis_offsets, late["full_ie"],
+                late["full_il"], late["full_iv"], late["vis_m"],
             )
             overflow = early["overflow"] | late["overflow"]
         else:

@@ -103,6 +103,7 @@ def rasterize_gbuffer(
     tiled_io: bool = False,
     alpha_masks=None,
     tri_ac=None,
+    overdraw=True,
 ):
     """G-buffer raster: returns (depth, vis, gbuf [GB_ROWS,H,W], bins).
 
@@ -135,7 +136,7 @@ def rasterize_gbuffer(
             init=init, vis_base_offset=vis_base_offset,
             tile_row_offset=row0, tiled_io=tiled_io,
             alpha_masks=alpha_masks, inst_mask_slot=geom.mask_slot,
-            inst_mid=geom.inst_mid,
+            inst_mid=geom.inst_mid, overdraw=overdraw,
         )
     else:
         depth, vis, gb = rasterize_pallas_gbuffer(
@@ -146,6 +147,6 @@ def rasterize_gbuffer(
             tile_row_offset=row0, tiled_io=tiled_io,
             pairs_per_step=cfg.pairs_per_step,
             alpha_masks=alpha_masks, inst_mask_slot=geom.mask_slot,
-            inst_mid=geom.inst_mid,
+            inst_mid=geom.inst_mid, overdraw=overdraw,
         )
     return depth, vis, gb, bins

@@ -177,7 +177,7 @@ def alpha_mask_texel_index(u, v, res: int = ALPHA_MASK_RES):
 
 def raster_meshlet_gbuffer(
     setup_m, attrs_m, vis_base, xs, ys, depth, vis, gb, pix_mask=None,
-    alpha_masks=None, mask_slot=None,
+    alpha_masks=None, mask_slot=None, overdraw=True,
 ):
     """G-buffer variant of raster_meshlet_on_tile. Rank-2 pure.
 
@@ -234,9 +234,12 @@ def raster_meshlet_gbuffer(
     new_vis = jnp.where(win, vis_base + best_tri, vis)
     new_gb = jnp.where(win[None], channels, gb)
     # overdraw accumulates over ALL covering fragments (not just winners),
-    # mirroring the reference's additive overdraw visualization
-    coverage = inside.sum(axis=0).astype(jnp.float32)
-    new_gb = new_gb.at[GB_OVERDRAW].set(gb[GB_OVERDRAW] + coverage)
+    # mirroring the reference's additive overdraw visualization. Skipped
+    # statically when no consumer needs it (render modes != 7): the
+    # accumulation is a per-chunk read-modify-write in the hot loop.
+    if overdraw:
+        coverage = inside.sum(axis=0).astype(jnp.float32)
+        new_gb = new_gb.at[GB_OVERDRAW].set(gb[GB_OVERDRAW] + coverage)
     return new_depth, new_vis, new_gb
 
 

@@ -324,7 +324,7 @@ def rasterize_pallas(
 
 def _gbuffer_kernel(
     meta_ref, tq_ref, pslot_ref, pmid_ref, rowoff_ref, *refs,
-    tile_h, tile_w, ntx, vis_base_offset, pack, use_alpha,
+    tile_h, tile_w, ntx, vis_base_offset, pack, use_alpha, overdraw,
 ):
     setup_refs = refs[:pack]
     attrs_refs = refs[pack : 2 * pack]
@@ -431,14 +431,15 @@ def _gbuffer_kernel(
                 bt_s[0:1, lanes] = best_tri
                 win_s[0:1, lanes] = win.astype(jnp.float32)
 
-                # overdraw accumulates over all covering fragments
-                od_row = r * GB_ROWS + GB_OVERDRAW
-                coverage = jnp.sum(
-                    inside.astype(jnp.float32), axis=0, keepdims=True
-                )
-                gb_ref[pl.ds(od_row, 1), lanes] = (
-                    gb_ref[pl.ds(od_row, 1), lanes] + coverage
-                )
+                if overdraw:
+                    # overdraw accumulates over all covering fragments
+                    od_row = r * GB_ROWS + GB_OVERDRAW
+                    coverage = jnp.sum(
+                        inside.astype(jnp.float32), axis=0, keepdims=True
+                    )
+                    gb_ref[pl.ds(od_row, 1), lanes] = (
+                        gb_ref[pl.ds(od_row, 1), lanes] + coverage
+                    )
 
                 @pl.when(jnp.any(win))
                 def _():
@@ -557,6 +558,7 @@ def rasterize_pallas_gbuffer(
     alpha_masks=None,
     inst_mask_slot=None,
     inst_mid=None,
+    overdraw=True,
 ):
     """G-buffer rasterizer. setup: [I,64,12]; attrs: the ASSET-side
     corner-attr array tri_ac [M, CA_ROWS, 64] (baked once at load),
@@ -710,6 +712,7 @@ def rasterize_pallas_gbuffer(
                 vis_base_offset=vis_base_offset,
                 pack=pack,
                 use_alpha=use_alpha,
+                overdraw=overdraw,
             ),
             grid_spec=grid_spec,
             out_shape=[
