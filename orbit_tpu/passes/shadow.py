@@ -42,6 +42,18 @@ class ShadowSettings:
     blocker_samples: int = 12
     pcf_samples: int = 32
     light_size: float = 0.4
+    # filter = "pcss": the reference's 12-tap blocker search + 32-tap
+    # penumbra-scaled PCF (forward.frag:81-171) — ~170 HBM gathers/px,
+    # the quality/parity path. filter = "vsm": TPU-native variance
+    # shadow maps — the filtering moves into a DENSE separable prefilter
+    # of (d, d^2) moments (VPU-friendly, done once per cascade) and each
+    # pixel pays ONE bilinear moment sample (4 gathers) resolved with
+    # Chebyshev's inequality. ~40x fewer gathers; soft shadows whose
+    # radius is the blur kernel instead of the PCSS penumbra estimate.
+    filter: str = "pcss"
+    vsm_blur_taps: int = 7  # prefilter width in texels (odd)
+    vsm_bleed: float = 0.35  # light-bleed reduction clamp
+    vsm_min_variance: float = 1e-6
 
 
 @jax.tree_util.register_dataclass
@@ -202,11 +214,12 @@ def render_shadow_cascades(
             inst_valid=draw_m,
         )
         if use_alpha:
-            from orbit_tpu.raster import rasterize_gbuffer
+            # depth+alpha-only raster: cutouts punch shadow holes without
+            # paying for attribute interpolation or G-buffer traffic
+            from orbit_tpu.raster import rasterize_depth_alpha
 
-            depth, _, _, bins = rasterize_gbuffer(
-                geom, S, S, cfg, tri_ac=assets.tri_ac,
-                alpha_masks=assets.alpha_masks,
+            depth, _, bins = rasterize_depth_alpha(
+                geom, S, S, cfg, assets.alpha_masks, assets.tri_ac
             )
         else:
             depth, _, bins = rasterize(geom, S, S, cfg)

@@ -15,5 +15,6 @@ from orbit_tpu.raster.binning import BinLists, bin_meshlets  # noqa: F401
 from orbit_tpu.raster.api import (  # noqa: F401
     RasterConfig,
     rasterize,
+    rasterize_depth_alpha,
     rasterize_gbuffer,
 )

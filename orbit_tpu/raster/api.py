@@ -81,6 +81,57 @@ def rasterize(
     return depth, vis, bins
 
 
+def rasterize_depth_alpha(
+    geom: GeometryBuffers,
+    height: int,
+    width: int,
+    cfg: RasterConfig,
+    alpha_masks,
+    tri_ac,
+    init=None,
+    vis_base_offset: int = 0,
+):
+    """Depth-only raster WITH the winner-level alpha test — the cheap
+    path for shadow cascades of scenes with MASKED materials (reference:
+    the depth-only shadow pipeline, shadow_renderer.rs:341-430 +
+    shadow.frag:23-38 alpha discard). No G-buffer rows are computed or
+    exchanged; cutout holes are bit-identical to the G-buffer path's.
+
+    Returns (depth [H,W] f32, vis [H,W] i32, bins)."""
+    from orbit_tpu.raster.raster_pallas import rasterize_pallas_depth_alpha
+    from orbit_tpu.raster.raster_xla import rasterize_xla_depth_alpha
+
+    bins = bin_meshlets(
+        geom.bbox,
+        geom.inst_valid,
+        width,
+        height,
+        cfg.tile_h,
+        cfg.tile_w,
+        cfg.pair_capacity,
+        max_z=geom.max_z,
+        group_align=cfg.pairs_per_step,
+    )
+    backend = cfg.resolve_backend()
+    if backend == "xla":
+        depth, vis = rasterize_xla_depth_alpha(
+            geom.setup, tri_ac, bins, height, width,
+            cfg.tile_h, cfg.tile_w, alpha_masks,
+            geom.mask_slot, geom.inst_mid,
+            init=init, vis_base_offset=vis_base_offset,
+        )
+    else:
+        depth, vis = rasterize_pallas_depth_alpha(
+            geom.setup, tri_ac, bins, height, width,
+            cfg.tile_h, cfg.tile_w, alpha_masks,
+            geom.mask_slot, geom.inst_mid,
+            interpret=(backend == "pallas_interpret"),
+            init=init, vis_base_offset=vis_base_offset,
+            pairs_per_step=cfg.pairs_per_step,
+        )
+    return depth, vis, bins
+
+
 def _window(height, cfg, row_window):
     """(tile_row0, local pixel height) for an optional band window."""
     if row_window is None:

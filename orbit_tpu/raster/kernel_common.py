@@ -243,6 +243,53 @@ def raster_meshlet_gbuffer(
     return new_depth, new_vis, new_gb
 
 
+def raster_meshlet_depth_alpha(
+    setup_m, attrs_m, vis_base, xs, ys, depth, vis, pix_mask=None,
+    alpha_masks=None, mask_slot=None,
+):
+    """Depth-only raster step WITH the winner-level alpha test — the
+    cheap path for MASKED-material shadow cascades (reference: the
+    depth-only shadow pipeline whose fragment shader does nothing but an
+    alpha-cutoff discard, shadow.frag:23-38). Identical candidate /
+    winner / uv math to raster_meshlet_gbuffer so cutout holes are
+    bit-identical to the G-buffer path's, but no G-buffer rows are
+    computed or written.
+
+    Returns (depth, vis)."""
+    c = setup_m[:, :, None]
+    x = xs[None]
+    y = ys[None]
+    e0 = c[:, E0X] * x + c[:, E0Y] * y + c[:, E0C]
+    e1 = c[:, E1X] * x + c[:, E1Y] * y + c[:, E1C]
+    e2 = c[:, E2X] * x + c[:, E2Y] * y + c[:, E2C]
+    z = c[:, ZA] * x + c[:, ZB] * y + c[:, ZC]
+    inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (z <= 1.0)
+    if pix_mask is not None:
+        inside = inside & pix_mask[None]
+    cand = jnp.where(inside, z, -1.0)
+    best_z = jnp.max(cand, axis=0)
+    best_tri = jnp.argmax(cand, axis=0).astype(jnp.int32)
+    win = best_z > depth
+
+    ms = (
+        mask_slot
+        if mask_slot is not None
+        else jnp.round(attrs_m[CA_MASK_SLOT, 0]).astype(jnp.int32)
+    )
+    # winner uv via the same perspective-correct interpolant as the
+    # G-buffer path (eval_gbuffer_channels) so the discard is identical
+    sel_f = attrs_m[:, best_tri]
+    sel_s = setup_m[best_tri].T
+    channels = eval_gbuffer_channels(sel_f, sel_s, xs, ys)
+    ui, vi = alpha_mask_texel_index(channels[GB_U], channels[GB_V])
+    a = alpha_masks[jnp.maximum(ms, 0) * ALPHA_MASK_RES + vi, ui]
+    win = win & ((ms < 0) | (a > 0.5))
+
+    new_depth = jnp.where(win, best_z, depth)
+    new_vis = jnp.where(win, vis_base + best_tri, vis)
+    return new_depth, new_vis
+
+
 def tile_pixel_centers(tile_y, tile_x, tile_h, tile_w):
     """Flattened pixel-center coords of tile (tile_y, tile_x) — traced ok."""
     rows = jnp.arange(tile_h, dtype=jnp.float32)

@@ -322,6 +322,306 @@ def rasterize_pallas(
     return from_tiles(depth_t), from_tiles(vis_t)
 
 
+def _depth_alpha_kernel(
+    meta_ref, tq_ref, pslot_ref, pmid_ref, rowoff_ref, *refs,
+    tile_h, tile_w, ntx, vis_base_offset, pack,
+):
+    """Depth-only raster with the winner-level alpha test: the shadow-
+    cascade fast path for MASKED materials. Same two-phase structure as
+    the G-buffer kernel (deferred commit so a failing alpha test can
+    discard the winner) but no attribute interpolation beyond uv and no
+    G-buffer traffic at all."""
+    setup_refs = refs[:pack]
+    attrs_refs = refs[pack : 2 * pack]
+    (mask_ref, _i1, _i2, depth_ref, vis_ref,
+     cur_min_ref, won_ref, bt_s, win_s, bz_s) = refs[2 * pack :]
+    del _i1, _i2  # aliased to depth/vis (in-place update)
+    p = pl.program_id(0)
+    tpx = tile_h * tile_w
+    n_chunks = 4 if tile_h % 4 == 0 else 1
+    cpx = tpx // n_chunks
+    rows_per_chunk = tile_h // n_chunks
+
+    for j in range(pack):
+        i = p * pack + j
+        m = meta_ref[i]
+        valid = (m & 1) == 1
+        first_tile = (m & 4) != 0
+        slot = (m >> 3) & 0x7FFFFF
+        mslot = (m >> 26) - 1
+
+        tq = tq_ref[i]
+        tile = tq & 0x3FFFF
+        r = tile % _GROUP
+
+        @pl.when(valid & first_tile)
+        def _(r=r):
+            cur_min_ref[0, 0] = jnp.min(depth_ref[pl.ds(r, 1), :])
+
+        maxz = (
+            ((tq >> 22) & 1023).astype(jnp.float32) * (1.0 / 1023.0)
+        )
+        active = valid & (maxz > cur_min_ref[0, 0])
+
+        qr = (tq >> 18) & 15
+        q0 = qr // 4
+        q1 = qr % 4
+        ty = (tile // ntx + rowoff_ref[0]).astype(jnp.float32)
+        tx = (tile % ntx).astype(jnp.float32)
+        s = setup_refs[j][0]
+
+        def coef(k, s=s):
+            return s[:, k][:, None]
+
+        vis_base = ((slot + vis_base_offset) << 6) + 1
+
+        @pl.when(active)
+        def _():
+            won_ref[0, 0] = 0
+            win_s[...] = jnp.zeros((1, tpx), jnp.float32)
+
+        for q in range(n_chunks):
+            run_q = active if n_chunks == 1 else (
+                active & (q >= q0) & (q <= q1)
+            )
+
+            @pl.when(run_q)
+            def _(q=q, r=r, coef=coef):
+                lanes = pl.ds(q * cpx, cpx)
+                flat = jax.lax.broadcasted_iota(jnp.int32, (1, cpx), 1)
+                col = (flat % tile_w).astype(jnp.float32)
+                row = (
+                    flat // tile_w + q * rows_per_chunk
+                ).astype(jnp.float32)
+                xs = tx * tile_w + col + 0.5
+                ys = ty * tile_h + row + 0.5
+
+                e0 = coef(0) * xs + coef(1) * ys + coef(2)
+                e1 = coef(3) * xs + coef(4) * ys + coef(5)
+                e2 = coef(6) * xs + coef(7) * ys + coef(8)
+                z = coef(9) * xs + coef(10) * ys + coef(11)
+
+                inside = (
+                    (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (z <= 1.0)
+                )
+                cand = jnp.where(inside, z, -1.0)
+                best_z = jnp.max(cand, axis=0, keepdims=True)
+                best_tri = jnp.argmax(cand, axis=0, keepdims=True).astype(
+                    jnp.int32
+                )
+
+                cur_d = depth_ref[pl.ds(r, 1), lanes]
+                win = best_z > cur_d
+                bz_s[0:1, lanes] = best_z
+                bt_s[0:1, lanes] = best_tri
+                win_s[0:1, lanes] = win.astype(jnp.float32)
+
+                @pl.when(jnp.any(win))
+                def _():
+                    won_ref[0, 0] = 1
+
+        @pl.when(active & (won_ref[0, 0] == 1))
+        def _(j=j, r=r, s=s, vis_base=vis_base, mslot=mslot):
+            flat = jax.lax.broadcasted_iota(jnp.int32, (1, tpx), 1)
+            col = (flat % tile_w).astype(jnp.float32)
+            row = (flat // tile_w).astype(jnp.float32)
+            xs = tx * tile_w + col + 0.5
+            ys = ty * tile_h + row + 0.5
+
+            attrs_m = attrs_refs[j][0]  # [CA_ROWS, 64]
+            bt = bt_s[...]
+            oh = (
+                jax.lax.broadcasted_iota(jnp.int32, (64, tpx), 0)
+                == jnp.broadcast_to(bt, (64, tpx))
+            ).astype(jnp.float32)
+            sel_f = jax.lax.dot_general(
+                attrs_m, oh, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            sel_s = jax.lax.dot_general(
+                s, oh, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            channels = eval_gbuffer_channels(sel_f, sel_s, xs, ys)
+
+            @pl.when(mslot >= 0)
+            def _():
+                from orbit_tpu.raster.kernel_common import (
+                    ALPHA_MASK_RES,
+                    GB_U,
+                    GB_V,
+                    alpha_mask_texel_index,
+                )
+
+                R = ALPHA_MASK_RES
+                u = channels[GB_U : GB_U + 1]
+                v = channels[GB_V : GB_V + 1]
+                ui, vi = alpha_mask_texel_index(u, v, R)
+                mblk = mask_ref[pl.ds(mslot * R, R), :]
+                iota_r = jax.lax.broadcasted_iota(jnp.int32, (R, tpx), 0)
+                oh_v = (iota_r == vi).astype(jnp.float32)
+                B = jax.lax.dot_general(
+                    mblk, oh_v, (((0,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                iota_c = jax.lax.broadcasted_iota(jnp.int32, (128, tpx), 0)
+                oh_u = (iota_c == ui).astype(jnp.float32)
+                a = jnp.sum(B * oh_u, axis=0, keepdims=True)
+                ok = a > 0.5
+                win_s[...] = jnp.where(
+                    ok, win_s[...], jnp.zeros((1, tpx), jnp.float32)
+                )
+
+            winm = win_s[...] > 0.0
+            cur_d = depth_ref[pl.ds(r, 1), :]
+            cur_v = vis_ref[pl.ds(r, 1), :]
+            depth_ref[pl.ds(r, 1), :] = jnp.where(winm, bz_s[...], cur_d)
+            vis_ref[pl.ds(r, 1), :] = jnp.where(
+                winm, vis_base + bt_s[...], cur_v
+            )
+            cur_min_ref[0, 0] = jnp.min(depth_ref[pl.ds(r, 1), :])
+
+
+def rasterize_pallas_depth_alpha(
+    setup,
+    attrs,
+    bins: BinLists,
+    height: int,
+    width: int,
+    tile_h: int,
+    tile_w: int,
+    alpha_masks,
+    inst_mask_slot,
+    inst_mid,
+    interpret: bool = False,
+    init=None,
+    vis_base_offset: int = 0,
+    tile_row_offset=0,
+    pairs_per_step: int = 1,
+):
+    """Depth+alpha rasterizer (see _depth_alpha_kernel). Returns
+    (depth [H,W] f32, vis [H,W] i32)."""
+    ntx = -(-width // tile_w)
+    nty = -(-height // tile_h)
+    n_tiles = ntx * nty
+    n_tiles_pad = -(-n_tiles // _GROUP) * _GROUP
+    tpx = tile_h * tile_w
+    P = bins.pair_slot.shape[0]
+
+    def to_tiles(img):
+        pad_h, pad_w = nty * tile_h - height, ntx * tile_w - width
+        x = jnp.pad(img, ((0, pad_h), (0, pad_w)))
+        t = (
+            x.reshape(nty, tile_h, ntx, tile_w)
+            .transpose(0, 2, 1, 3)
+            .reshape(n_tiles, tpx)
+        )
+        return jnp.pad(t, ((0, n_tiles_pad - n_tiles), (0, 0)))
+
+    def from_tiles(t):
+        img = (
+            t[:n_tiles]
+            .reshape(nty, ntx, tile_h, tile_w)
+            .transpose(0, 2, 1, 3)
+            .reshape(nty * tile_h, ntx * tile_w)
+        )
+        return img[:height, :width]
+
+    if init is None:
+        init_d = jnp.zeros((n_tiles_pad, tpx), jnp.float32)
+        init_v = jnp.zeros((n_tiles_pad, tpx), jnp.int32)
+    else:
+        init_d = to_tiles(init[0])
+        init_v = to_tiles(init[1])
+
+    rowoff = jnp.full((1,), tile_row_offset, jnp.int32)
+    pack = pairs_per_step
+    assert P % pack == 0, f"pair capacity {P} not divisible by {pack}"
+
+    fb_spec = pl.BlockSpec(
+        (_GROUP, tpx),
+        lambda p, meta, tq, ps, pm, ro: (
+            (tq[p * pack] & 0x3FFFF) // _GROUP, 0
+        ),
+    )
+    chunk = P if P <= _MAX_PAIRS_PER_CALL else _MAX_PAIRS_PER_CALL
+    assert P % chunk == 0
+
+    def _slot_spec(shape, j):
+        return pl.BlockSpec(
+            (1,) + shape,
+            functools.partial(
+                lambda p, meta, tq, ps, pm, ro, j: (ps[p * pack + j], 0, 0),
+                j=j,
+            ),
+        )
+
+    def _mid_spec(shape, j):
+        return pl.BlockSpec(
+            (1,) + shape,
+            functools.partial(
+                lambda p, meta, tq, ps, pm, ro, j: (pm[p * pack + j], 0, 0),
+                j=j,
+            ),
+        )
+
+    in_specs = [_slot_spec((64, 12), j) for j in range(pack)]
+    in_specs += [_mid_spec((CA_ROWS, 64), j) for j in range(pack)]
+    in_specs.append(
+        pl.BlockSpec(
+            alpha_masks.shape, lambda p, meta, tq, ps, pm, ro: (0, 0)
+        )
+    )
+    in_specs += [fb_spec, fb_spec]
+    n_lead = 2 * pack + 1
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(chunk // pack,),
+        in_specs=in_specs,
+        out_specs=[fb_spec, fb_spec],
+        scratch_shapes=[
+            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.int32),
+            pltpu.VMEM((1, tpx), jnp.int32),
+            pltpu.VMEM((1, tpx), jnp.float32),
+            pltpu.VMEM((1, tpx), jnp.float32),
+        ],
+    )
+
+    depth_t, vis_t = init_d, init_v
+    for c in range(P // chunk):
+        s = slice(c * chunk, (c + 1) * chunk)
+        meta, tq = _pair_meta(
+            _slice_bins(bins, s), chunk, inst_mask_slot=inst_mask_slot
+        )
+        pslot = jnp.maximum(bins.pair_slot[s], 0)
+        pmid = inst_mid[pslot]
+        base_io = 5 + 2 * pack + 1
+        depth_t, vis_t = pl.pallas_call(
+            functools.partial(
+                _depth_alpha_kernel,
+                tile_h=tile_h,
+                tile_w=tile_w,
+                ntx=ntx,
+                vis_base_offset=vis_base_offset,
+                pack=pack,
+            ),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((n_tiles_pad, tpx), jnp.float32),
+                jax.ShapeDtypeStruct((n_tiles_pad, tpx), jnp.int32),
+            ],
+            input_output_aliases={base_io: 0, base_io + 1: 1},
+            interpret=interpret,
+            name="raster_depth_alpha",
+        )(
+            meta, tq, pslot, pmid, rowoff,
+            *([setup] * pack), *([attrs] * pack), alpha_masks,
+            depth_t, vis_t,
+        )
+    return from_tiles(depth_t), from_tiles(vis_t)
+
+
 def _gbuffer_kernel(
     meta_ref, tq_ref, pslot_ref, pmid_ref, rowoff_ref, *refs,
     tile_h, tile_w, ntx, vis_base_offset, pack, use_alpha, overdraw,

@@ -14,6 +14,7 @@ from orbit_tpu.raster.binning import BinLists
 from orbit_tpu.raster.kernel_common import (
     GB_ROWS,
     VIS_TRI_BITS,
+    raster_meshlet_depth_alpha,
     raster_meshlet_gbuffer,
     raster_meshlet_on_tile,
     tile_pixel_centers,
@@ -76,6 +77,89 @@ def rasterize_xla(
             mask = (row_l >= (qr // 4) * cr) & (row_l < (qr % 4 + 1) * cr)
             nd, nv = raster_meshlet_on_tile(
                 setup_m, vis_base, xs, ys, depth, vis, pix_mask=mask
+            )
+            nd = jnp.where(active, nd, depth)
+            nv = jnp.where(active, nv, vis)
+            cur_min = jnp.where(active, jnp.min(nd), cur_min)
+            return nd, nv, cur_min
+
+        if init is None:
+            depth0 = jnp.zeros((tpx,), jnp.float32)
+            vis0 = jnp.zeros((tpx,), jnp.int32)
+        else:
+            depth0 = init_d[t]
+            vis0 = init_v[t]
+        depth, vis, _ = jax.lax.fori_loop(
+            0, count, body, (depth0, vis0, jnp.min(depth0))
+        )
+        return depth.reshape(tile_h, tile_w), vis.reshape(tile_h, tile_w)
+
+    depth_t, vis_t = jax.vmap(do_tile)(jnp.arange(n_tiles, dtype=jnp.int32))
+    depth = (
+        depth_t.reshape(nty, ntx, tile_h, tile_w)
+        .transpose(0, 2, 1, 3)
+        .reshape(nty * tile_h, ntx * tile_w)
+    )
+    vis = (
+        vis_t.reshape(nty, ntx, tile_h, tile_w)
+        .transpose(0, 2, 1, 3)
+        .reshape(nty * tile_h, ntx * tile_w)
+    )
+    return depth[:height, :width], vis[:height, :width]
+
+
+def rasterize_xla_depth_alpha(
+    setup, attrs, bins: BinLists, height, width, tile_h, tile_w,
+    alpha_masks, inst_mask_slot, inst_mid,
+    init=None, vis_base_offset: int = 0, tile_row_offset=0,
+):
+    """Depth+alpha rasterizer, XLA twin of rasterize_pallas_depth_alpha
+    (shadow cascades of MASKED materials). Returns (depth, vis)."""
+    ntx = -(-width // tile_w)
+    nty = -(-height // tile_h)
+    n_tiles = ntx * nty
+    tpx = tile_h * tile_w
+    setup_flat = setup.reshape(setup.shape[0], -1)
+    attrs_flat = attrs.reshape(attrs.shape[0], -1)
+    ac_rows = attrs.shape[1]
+
+    if init is not None:
+        pad_h, pad_w = nty * tile_h - height, ntx * tile_w - width
+        init_d = jnp.pad(init[0], ((0, pad_h), (0, pad_w)))
+        init_v = jnp.pad(init[1], ((0, pad_h), (0, pad_w)))
+        init_d = (
+            init_d.reshape(nty, tile_h, ntx, tile_w)
+            .transpose(0, 2, 1, 3)
+            .reshape(n_tiles, tpx)
+        )
+        init_v = (
+            init_v.reshape(nty, tile_h, ntx, tile_w)
+            .transpose(0, 2, 1, 3)
+            .reshape(n_tiles, tpx)
+        )
+
+    def do_tile(t):
+        start = bins.tile_start[t]
+        count = bins.tile_count[t]
+        xs, ys = tile_pixel_centers(
+            t // ntx + tile_row_offset, t % ntx, tile_h, tile_w
+        )
+
+        def body(k, carry):
+            depth, vis, cur_min = carry
+            slot = bins.pair_slot[start + k]
+            setup_m = setup_flat[slot].reshape(-1, 12)
+            attrs_m = attrs_flat[inst_mid[slot]].reshape(ac_rows, -1)
+            vis_base = ((slot + vis_base_offset) << VIS_TRI_BITS) + 1
+            active = bins.pair_maxz[start + k] > cur_min
+            qr = bins.pair_qr[start + k]
+            cr = tile_h // 4 if tile_h % 4 == 0 else tile_h
+            row_l = jnp.arange(tpx, dtype=jnp.int32) // tile_w
+            mask = (row_l >= (qr // 4) * cr) & (row_l < (qr % 4 + 1) * cr)
+            nd, nv = raster_meshlet_depth_alpha(
+                setup_m, attrs_m, vis_base, xs, ys, depth, vis,
+                pix_mask=mask, alpha_masks=alpha_masks,
+                mask_slot=inst_mask_slot[slot],
             )
             nd = jnp.where(active, nd, depth)
             nv = jnp.where(active, nv, vis)

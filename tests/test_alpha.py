@@ -188,3 +188,43 @@ def test_masked_shadow_has_hole(card):
         f"masked shadow not smaller: masked={dark_masked} "
         f"opaque={dark_opaque}"
     )
+
+
+def test_depth_alpha_matches_gbuffer_depth(card):
+    """The cheap depth+alpha shadow rasterizer must produce the exact
+    depth/vis the full G-buffer path produces (same winner, same alpha
+    discard) — on both backends."""
+    import jax.numpy as jnp
+
+    from orbit_tpu.raster import (
+        RasterConfig,
+        process_geometry,
+        rasterize_depth_alpha,
+        rasterize_gbuffer,
+    )
+
+    store, assets, ameta, scene, smeta = card
+    view = make_perspective_view(
+        eye=(0.0, 1.2, 3.0), target=(0.0, 1.2, 0.0), aspect=1.0
+    )
+    ids = jnp.arange(assets.tri_pos.shape[0], dtype=jnp.int32)
+    # both entities use identity-ish transforms; just draw every meshlet
+    # of entity 1 (the card) and entity 0 (the floor) via entity 0's
+    # matrix for a deterministic comparison scene
+    mats = jnp.broadcast_to(
+        scene.entity_model[0][None], (ids.shape[0], 4, 4)
+    )
+    geom = process_geometry(assets, ids, mats, view.view_proj, 128, 128)
+    for backend in ("xla", "pallas_interpret"):
+        cfg = RasterConfig(
+            backend=backend, tile_h=16, tile_w=128, pair_capacity=256
+        )
+        d_ref, v_ref, _, _ = rasterize_gbuffer(
+            geom, 128, 128, cfg, tri_ac=assets.tri_ac,
+            alpha_masks=assets.alpha_masks,
+        )
+        d_fast, v_fast, _ = rasterize_depth_alpha(
+            geom, 128, 128, cfg, assets.alpha_masks, assets.tri_ac
+        )
+        np.testing.assert_array_equal(np.asarray(d_ref), np.asarray(d_fast))
+        np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_fast))
