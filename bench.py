@@ -18,30 +18,28 @@ import time
 import numpy as np
 
 
-def main():
+def build(W=1920, H=1080, rbackend=None):
+    """Construct the full north-star bench setup (scene, env, config,
+    pipeline, camera). Shared by main() and every tools/ profiler so
+    profiling always measures the SAME program the bench times."""
     import jax
-    import jax.numpy as jnp
 
     from orbit_tpu.assets import procedural as proc
     from orbit_tpu.camera import make_perspective_view
     from orbit_tpu.pipeline import CullSettings, Pipeline, PipelineConfig
     from orbit_tpu.raster import RasterConfig
-    from orbit_tpu.scenes import (
-        BENCH_CAMERAS,
-        bistro_flythrough,
-        bistro_xl_scene,
-    )
+    from orbit_tpu.scenes import BENCH_CAMERAS, bistro_xl_scene
     from orbit_tpu.shade import ibl as ibl_mod
 
-    W, H = 1920, 1080
     backend = jax.default_backend()
 
     # reference-class content: ~80k stored meshlets (1.26M unique LOD0
     # triangles across 20k LOD0 meshlets + 0.8x LOD chains), ~5.9k
     # entities instancing ~40M triangles of scene content — the
     # reference's design point is 256k meshlets / 100k instances
-    # (assets/mod.rs:197-205, scene.rs:303-304)
-    store, sb = bistro_xl_scene()
+    # (assets/mod.rs:197-205, scene.rs:303-304). 256 street-lamp point
+    # lights feed the clustered shading path.
+    store, sb = bistro_xl_scene(point_lights=256)
     assets, ameta = store.to_device()
     scene, smeta = sb.to_device()
     env = ibl_mod.build_environment(
@@ -49,11 +47,17 @@ def main():
         spec_mips=4, spec_samples=64, brdf_res=64, brdf_samples=128,
     )
 
+    from orbit_tpu.passes.bloom import BloomSettings
+    from orbit_tpu.passes.cluster import ClusterSettings
+    from orbit_tpu.passes.shadow import ShadowSettings
+
+    if rbackend is None:
+        rbackend = "pallas" if backend == "tpu" else "xla"
     cfg = PipelineConfig(
         width=W,
         height=H,
         raster=RasterConfig(
-            backend="pallas" if backend == "tpu" else "xla",
+            backend=rbackend,
             tile_h=16,
             tile_w=128,
             # capacities size every compacted stage's static cost: keep
@@ -71,6 +75,21 @@ def main():
         draw_capacity=32768,
         late_draw_capacity=16384,
         late_pair_capacity=49152,
+        # THE NORTH-STAR EFFECTS STACK (BASELINE.json): 4-cascade CSM
+        # (VSM filter: dense moment prefilter + one bilinear tap),
+        # clustered point lights (per-tile lists walked in the fused
+        # kernel), bloom (fused kernel emits HDR tiles)
+        shadows=ShadowSettings(
+            resolution=1024, cascade_count=4, max_distance=60.0,
+            filter="vsm",
+        ),
+        shadow_raster=RasterConfig(
+            backend=rbackend, tile_h=16, tile_w=128,
+            pair_capacity=98304,
+        ),
+        shadow_draw_capacity=32768,
+        clusters=ClusterSettings(tile_light_cap=32),
+        bloom=BloomSettings(),
     )
     pipe = Pipeline(
         cfg, ameta, smeta, store.h["mesh_lod_count"],
@@ -81,6 +100,26 @@ def main():
         eye=cam["eye"], target=cam["target"], aspect=W / H,
         fovy=np.radians(60.0),
     )
+    return dict(
+        W=W, H=H, backend=backend, store=store, sb=sb,
+        assets=assets, ameta=ameta, scene=scene, smeta=smeta,
+        env=env, cfg=cfg, pipe=pipe, view=view,
+    )
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from orbit_tpu.camera import make_perspective_view
+    from orbit_tpu.scenes import bistro_flythrough
+
+    b = build()
+    W, H = b["W"], b["H"]
+    backend = b["backend"]
+    store, assets, ameta = b["store"], b["assets"], b["ameta"]
+    scene, smeta = b["scene"], b["smeta"]
+    env, pipe, view = b["env"], b["pipe"], b["view"]
 
     frame = jax.jit(
         lambda assets, scene, view, env, state: pipe.frame(
@@ -148,14 +187,19 @@ def main():
 
     # serialized tail continues the same path (no camera teleports)
     ser = []
-    any_overflow = False
+    overflowed = set()
     for v in views[30:]:
         t0 = time.perf_counter()
         out, state = frame(assets, scene, v, env, state)
         jax.block_until_ready(out["color"])
         ser.append((time.perf_counter() - t0) * 1e3 - latency_ms)
-        any_overflow |= bool(np.asarray(out["overflow"]))
-    assert not any_overflow, "capacity overflow during fly-through"
+        if bool(np.asarray(out["overflow"])):
+            overflowed |= {
+                k
+                for k, f in out.get("overflow_detail", {}).items()
+                if bool(np.asarray(f))
+            }
+    assert not overflowed, f"capacity overflow during fly-through: {sorted(overflowed)}"
 
     # in-frame per-pass device times from ONE compiled frame (the
     # reference's per-batch GPU timestamps, context.rs:1509-1529)
@@ -189,7 +233,9 @@ def main():
             "ms/frame at 1080p, steady-state fly-through (bistro_xl: "
             "42k stored meshlets / 2.65M stored tris / 5.1k entities "
             "instancing ~40M tris; meshlet pipeline, frustum+cone+"
-            "two-pass HiZ occlusion, PBR+IBL shade)"
+            "two-pass HiZ occlusion, PBR+IBL shade, 4-cascade CSM(VSM), "
+            "256 clustered point lights, bloom — the full BASELINE "
+            "north-star config)"
         ),
         "value": round(ms_frame, 3),
         "unit": "ms",

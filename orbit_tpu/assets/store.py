@@ -29,6 +29,7 @@ from orbit_tpu.assets.meshlet import build_meshlets
 from orbit_tpu.assets import types as types_mod
 from orbit_tpu.assets.types import (
     ALPHA_MODE_OPAQUE,
+    ALPHA_MODE_TRANSPARENT,
     MAX_LODS,
     AssetArrays,
     AssetCaps,
@@ -229,9 +230,16 @@ class AssetStore:
         self._bake_alpha_masks()
 
     def _bake_alpha_masks(self):
-        """Bake each MASKED material's thresholded alpha into the small
-        VMEM-resident bitmap the rasterizer tests winners against
-        (reference alpha test: forward_depth_prepass.frag:35-57)."""
+        """Bake each MASKED material's alpha into the small VMEM-resident
+        block the rasterizer tests winners against (reference alpha test:
+        forward_depth_prepass.frag:35-57).
+
+        Columns 0..R-1 store the SIGNED alpha field s = alpha - cutoff
+        (keep iff s > 0 — same winners as the old thresholded bitmap);
+        columns R..2R-1 store the per-texel alpha gradient magnitude g,
+        which the kernel turns into the screen-space alpha derivative
+        (g * R * |duv/dpixel|) for the reference's mip-stable
+        `(alpha-cutoff)/fwidth + 0.5` coverage sharpening under SSAA."""
         from orbit_tpu.assets.types import (
             ALPHA_MASK_CAP,
             ALPHA_MASK_RES,
@@ -260,8 +268,13 @@ class AssetStore:
                 a = a.reshape(R, blk, R, blk).mean(axis=(1, 3))
             else:
                 a = np.ones((R, R), np.float32)
-            mask = (a * base_a >= cutoff).astype(np.float32)
-            h["alpha_masks"][n * R : (n + 1) * R, :R] = mask
+            a = a * base_a
+            gu = np.abs(np.roll(a, -1, 1) - np.roll(a, 1, 1)) * 0.5
+            gv = np.abs(np.roll(a, -1, 0) - np.roll(a, 1, 0)) * 0.5
+            h["alpha_masks"][n * R : (n + 1) * R, :R] = a - cutoff
+            h["alpha_masks"][n * R : (n + 1) * R, R : 2 * R] = np.maximum(
+                gu, gv
+            )
             h["mat_mask_slot"][m] = n
             n += 1
 
@@ -313,6 +326,12 @@ class AssetStore:
             num_materials=self.num_materials,
             num_texture_layers=self.num_texture_layers,
             has_alpha_masks=bool((self.h["mat_mask_slot"] >= 0).any()),
+            has_transparent=bool(
+                (
+                    self.h["mat_alpha_mode"][: self.num_materials]
+                    == ALPHA_MODE_TRANSPARENT
+                ).any()
+            ),
             caps=self.caps,
         )
         return arrays, meta

@@ -80,6 +80,7 @@ class AssetMeta:
     num_materials: int = 0
     num_texture_layers: int = 0
     has_alpha_masks: bool = False  # any MASKED material baked a mask
+    has_transparent: bool = False  # any TRANSPARENT material present
     caps: AssetCaps = field(default_factory=AssetCaps)
 
 

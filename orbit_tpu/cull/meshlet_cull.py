@@ -37,8 +37,16 @@ def cull_meshlet_instances(
     prev_visible: Optional[jnp.ndarray] = None,  # [I] bool (gathered bitset)
     use_meshlet_occlusion: bool = True,
     use_cone: bool = True,
+    alpha_mode_mask: int = 0,
 ):
-    """Returns (draw_mask [I] bool, new_visible [I] bool)."""
+    """Returns (draw_mask [I] bool, new_visible [I] bool).
+
+    alpha_mode_mask: bitmask over ALPHA_MODE_* values — a nonzero mask
+    restricts the draw to meshlets whose material alpha mode has its bit
+    set (reference: the cull-stage alpha-mode filter,
+    meshlet_cull.comp:207-213 + AlphaModeFlags draw_gen.rs:630-641).
+    The opaque pass uses OPAQUE|MASKED so Transparent meshlets never
+    enter the depth-tested G-buffer raster."""
     mv = jnp.einsum(
         "ab,ibc->iac", cull_view, scene.entity_model[inst_entity]
     )
@@ -89,4 +97,9 @@ def cull_meshlet_instances(
     if occlusion_pass == PASS_LATE and use_meshlet_occlusion:
         # late pass draws only newly-visible meshlets (meshlet_cull.comp:209-213)
         draw = visible & ~visible_in_buffer
+    if alpha_mode_mask:
+        mode = assets.mat_alpha_mode[
+            jnp.maximum(assets.mlet_material[inst_meshlet], 0)
+        ]
+        draw = draw & (((alpha_mode_mask >> mode) & 1) == 1)
     return draw, visible

@@ -31,12 +31,17 @@ class DebugSettings:
     meshlet_spheres: bool = False  # bounding spheres of drawn meshlets
     frustum: bool = False  # cull-camera frustum (frozen-camera debug)
     cascades: bool = False  # CSM cascade volumes
+    clusters: bool = False  # active light-cluster AABBs (cluster.rs:133-320)
     wireframe_entity: int = -1  # draw one entity's LOD0 triangle edges
     max_entity_spheres: int = 128
     max_meshlet_spheres: int = 512
+    max_cluster_volumes: int = 256
     max_wireframe_tris: int = 2048
     sphere_segments: int = 16
     depth_fade: float = 0.25  # occluded-line fade (debug_renderer.rs:560)
+    # depth-pyramid inspection: composite HiZ mip >= 0 into the frame's
+    # top-left corner (reference post_process.frag:58-88 pyramid overlay)
+    depth_pyramid_mip: int = -1
 
 
 def _cat(segs, cols, s, color):
@@ -56,6 +61,8 @@ def build_overlay(
     inst_entity=None,
     inst_meshlet=None,
     inst_valid=None,
+    clusters_data=None,
+    inv_view=None,
 ):
     """Returns (segments [N,2,3], colors [N,3]) — fixed-capacity, with
     degenerate (zero-length) padding for disabled/absent items."""
@@ -114,6 +121,54 @@ def build_overlay(
                 ],
             )
 
+    if (
+        settings.clusters
+        and clusters_data is not None
+        and clusters_data.aabb_min is not None
+        and inv_view is not None
+    ):
+        # active cluster volumes (cluster.rs:133-320): rank-compact the
+        # first max_cluster_volumes active cells, lift their view-space
+        # AABB corners to world space, draw the 12 box edges each
+        _bits = jnp.asarray(
+            [[(m >> i) & 1 for i in range(3)] for m in range(8)],
+            jnp.float32,
+        )
+        _edges = jnp.asarray(
+            [
+                (0, 1), (2, 3), (4, 5), (6, 7),
+                (0, 2), (1, 3), (4, 6), (5, 7),
+                (0, 4), (1, 5), (2, 6), (3, 7),
+            ],
+            jnp.int32,
+        )
+
+        def aabb_segments(mn, mx):
+            corners = mn[None, :] * (1.0 - _bits) + mx[None, :] * _bits
+            return corners[_edges]  # [12, 2, 3]
+
+        V = settings.max_cluster_volumes
+        act = clusters_data.active
+        rank = jnp.cumsum(act) - 1
+        C = act.shape[0]
+        dst = jnp.where(act & (rank < V), rank, V)
+        sel = jnp.zeros((V,), jnp.int32).at[dst].set(
+            jnp.arange(C, dtype=jnp.int32), mode="drop"
+        )
+        n_act = jnp.minimum(jnp.sum(act.astype(jnp.int32)), V)
+        ok = jnp.arange(V) < n_act
+        mn_v = clusters_data.aabb_min[sel]  # [V,3] view space
+        mx_v = clusters_data.aabb_max[sel]
+
+        def box_world(mn, mx, okk):
+            s = aabb_segments(mn, mx)  # [12,2,3] view space
+            sh = jnp.concatenate([s, jnp.ones_like(s[..., :1])], axis=-1)
+            sw = jnp.einsum("ab,ecb->eca", inv_view, sh)[..., :3]
+            return jnp.where(okk, sw, 0.0)
+
+        s = jax.vmap(box_world)(mn_v, mx_v, ok).reshape(-1, 2, 3)
+        _cat(segs, cols, s, (0.3, 0.9, 1.0))
+
     if settings.wireframe_entity >= 0:
         # LOD0 triangle edges of one entity's mesh
         # (debug_renderer.rs:405-463 draws wireframes via submesh lines)
@@ -146,6 +201,24 @@ def build_overlay(
     if not segs:
         return jnp.zeros((1, 2, 3)), jnp.zeros((1, 3))
     return jnp.concatenate(segs), jnp.concatenate(cols)
+
+
+def depth_pyramid_inset(color_u8, pyramid, mip: int):
+    """Composite HiZ pyramid mip `mip` (grayscale, gamma-lifted) into
+    the frame's top-left corner — the reference's depth-pyramid debug
+    view (post_process.frag:58-88 + DisplaySettings pyramid level)."""
+    mip = min(mip, len(pyramid.sizes) - 1)
+    h, w = pyramid.sizes[mip]
+    off = pyramid.offsets[mip]
+    img = pyramid.data[off : off + h * w].reshape(h, w)
+    H, W = color_u8.shape[:2]
+    h, w = min(h, H), min(w, W)
+    vis = jnp.clip(img[:h, :w], 0.0, 1.0) ** (1.0 / 2.2)
+    inset = jnp.broadcast_to(
+        jnp.clip(vis * 255.0 + 0.5, 0, 255).astype(jnp.uint8)[..., None],
+        (h, w, 3),
+    )
+    return color_u8.at[:h, :w].set(inset)
 
 
 def apply_overlay(

@@ -65,6 +65,10 @@ class ShadowMaps:
     resolution: int = field(metadata=dict(static=True), default=1024)
     overflow: jax.Array = None  # [] bool — any cascade's instance/pair
     #   capacity overflowed (geometry silently dropped otherwise)
+    # VSM moments (filter="vsm"): [C*S*S, 2] prefiltered (E[d], E[d^2])
+    # rows, d = 1 - reverse-Z depth, flattened so one tap is ONE row
+    # gather (rows cost the same as scalars on TPU)
+    moments: jax.Array = None
 
 
 def cascade_views(
@@ -173,6 +177,8 @@ def render_shadow_cascades(
     raster_cfg: Optional[RasterConfig] = None,
     instance_capacity: int = 1 << 13,
     use_alpha: bool = False,
+    draw_capacity: int = 0,
+    alpha_mode_mask: int = 0,
 ) -> ShadowMaps:
     """Depth-only render per cascade through the standard cull+raster path
     (the reference reuses its meshlet pipeline identically,
@@ -208,7 +214,17 @@ def render_shadow_cascades(
             occlusion_pass=PASS_SINGLE,
             is_ortho=True,
             use_meshlet_occlusion=False,
+            alpha_mode_mask=alpha_mode_mask,
         )
+        # drawn-instance compaction (see pipeline): geometry/raster cost
+        # tracks the cascade's real draw count, not the expansion cap
+        if draw_capacity and draw_capacity < instance_capacity:
+            from orbit_tpu.cull.entity_cull import compact_drawn
+
+            ie, im, draw_m, ovf_c = compact_drawn(
+                ie, im, draw_m, draw_capacity
+            )
+            overflow = overflow | ovf_c
         geom = process_geometry(
             assets, im, scene.entity_model[ie], view.view_proj, S, S,
             inst_valid=draw_m,
@@ -227,13 +243,94 @@ def render_shadow_cascades(
         maps.append(depth)
         mats.append(view.view_proj)
         sizes.append(radius * 2.0)
+    depth_all = jnp.stack(maps)
+    moments = (
+        compute_vsm_moments(depth_all, settings.vsm_blur_taps)
+        if settings.filter == "vsm"
+        else None
+    )
     return ShadowMaps(
-        depth=jnp.stack(maps),
+        depth=depth_all,
         matrices=jnp.stack(mats),
         world_sizes=jnp.stack(sizes),
         resolution=S,
         overflow=overflow,
+        moments=moments,
     )
+
+
+def compute_vsm_moments(depth, taps: int):
+    """Dense separable box prefilter of the VSM moments (E[d], E[d^2]),
+    d = 1 - reverse-Z light depth (background z=0 -> d=1 = far).
+
+    This is the TPU-native half of shadow filtering: the blur is a
+    regular stencil over the whole cascade (VPU-friendly, no gathers);
+    the per-pixel resolve then needs ONE moment sample instead of the
+    PCSS tap cloud. Returns [C*S*S, 2] rows (one gather per tap).
+    """
+    C, S, _ = depth.shape
+    d = 1.0 - depth
+    x = jnp.stack([d, d * d], axis=-1)  # [C, S, S, 2]
+    r = taps // 2
+
+    def blur_axis(v, axis):
+        vp = jnp.pad(
+            v,
+            [(0, 0)] * axis + [(r, r)] + [(0, 0)] * (v.ndim - axis - 1),
+            mode="edge",
+        )
+        win = [1] * v.ndim
+        win[axis] = taps
+        s = jax.lax.reduce_window(
+            vp, 0.0, jax.lax.add, tuple(win), (1,) * v.ndim, "valid"
+        )
+        return s * (1.0 / taps)
+
+    x = blur_axis(blur_axis(x, 1), 2)
+    return x.reshape(C * S * S, 2)
+
+
+def sample_shadow_vsm(
+    shadows: ShadowMaps,
+    cascade,  # [N] i32
+    clip_pos,  # [N, 4] light-clip position (biased)
+    settings: ShadowSettings,
+):
+    """Chebyshev VSM resolve: one bilinear moment sample per pixel.
+    lit upper bound p = sigma^2 / (sigma^2 + (t - mu)^2) for receivers
+    beyond the mean occluder depth, 1 otherwise; light bleeding clamped
+    (standard VSM tail rescale). Returns [N] lit factor."""
+    res = shadows.resolution
+    w = jnp.maximum(jnp.abs(clip_pos[:, 3]), 1e-12)
+    ndc = clip_pos[:, :3] / w[:, None]
+    u = ndc[:, 0] * 0.5 + 0.5
+    v = ndc[:, 1] * -0.5 + 0.5
+    t = 1.0 - ndc[:, 2]
+
+    x = jnp.clip(u * res - 0.5, 0.0, res - 1.0)
+    y = jnp.clip(v * res - 0.5, 0.0, res - 1.0)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, res - 1)
+    y1 = jnp.minimum(y0 + 1, res - 1)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+    base = cascade * (res * res)
+    m = shadows.moments
+    m00 = m[base + y0 * res + x0]
+    m10 = m[base + y0 * res + x1]
+    m01 = m[base + y1 * res + x0]
+    m11 = m[base + y1 * res + x1]
+    mom = (m00 * (1 - fx) + m10 * fx) * (1 - fy) + (
+        m01 * (1 - fx) + m11 * fx
+    ) * fy  # [N, 2]
+    mu = mom[:, 0]
+    var = jnp.maximum(mom[:, 1] - mu * mu, settings.vsm_min_variance)
+    dd = t - mu
+    p = var / (var + dd * dd)
+    p = jnp.where(dd <= 0.0, 1.0, p)
+    lb = settings.vsm_bleed
+    return jnp.clip((p - lb) / (1.0 - lb), 0.0, 1.0)
 
 
 # ------------------------------------------------------------- sampling
@@ -407,7 +504,10 @@ def shadow_factor(
 
     ph = jnp.concatenate([pos, jnp.ones_like(pos[:, :1])], -1)
     clip = jnp.einsum("nab,nb->na", gather1(shadows.matrices, cascade), ph)
-    lit = sample_shadow_pcss(
-        shadows, cascade, clip, pixel_xy, light_inner_radius, settings
-    )
+    if settings.filter == "vsm":
+        lit = sample_shadow_vsm(shadows, cascade, clip, settings)
+    else:
+        lit = sample_shadow_pcss(
+            shadows, cascade, clip, pixel_xy, light_inner_radius, settings
+        )
     return jnp.where(any_inside, lit, 1.0)

@@ -118,6 +118,8 @@ class PipelineConfig:
     # even though its EXPANSION capacity must cover every visible entity.
     draw_capacity: int = 0
     late_draw_capacity: int = 0
+    # drawn-instance compaction for the shadow cascade renders (0 = off)
+    shadow_draw_capacity: int = 0
     render_mode: int = 0
     exposure: float = 1.0
     shadows: Optional["shadow_mod.ShadowSettings"] = None
@@ -139,6 +141,14 @@ class PipelineConfig:
     fused_shade: bool = True
 
 
+
+def _any_overflow(d):
+    """OR-reduce the named per-capacity overflow flags to one scalar."""
+    import functools as _ft
+
+    vals = list(d.values())
+    return _ft.reduce(lambda a, b: a | b, vals) if vals else jnp.zeros((), bool)
+
 class Pipeline:
     """Holds static per-scene layout; `frame` is the jit-able step."""
 
@@ -157,6 +167,14 @@ class Pipeline:
         self.vis_total = total
         # winner-level alpha test in the rasterizer (MASKED materials)
         self.use_alpha = bool(getattr(assets_meta, "has_alpha_masks", False))
+        # cull-stage alpha-mode filter (meshlet_cull.comp:207-213): with
+        # TRANSPARENT materials in the store, the opaque G-buffer and
+        # shadow passes draw only OPAQUE|MASKED meshlets
+        self.opaque_alpha_mask = (
+            0b011
+            if bool(getattr(assets_meta, "has_transparent", False))
+            else 0
+        )
 
     def initial_state(self) -> VisibilityState:
         return initial_state(
@@ -244,6 +262,7 @@ class Pipeline:
                 prev_visible=prev_bits,
                 use_meshlet_occlusion=cfg.cull.meshlet_occlusion,
                 use_cone=cfg.cull.cone,
+                alpha_mode_mask=self.opaque_alpha_mask,
                 **common,
             )
             # drawn-instance compaction: geometry/raster slot space then
@@ -253,11 +272,11 @@ class Pipeline:
             dcap = (
                 cfg.late_draw_capacity if late else cfg.draw_capacity
             )
+            ovf_c = jnp.zeros((), bool)
             if dcap and dcap < cap_i:
                 from orbit_tpu.cull.entity_cull import compact_drawn
 
                 ce, cm, cv, ovf_c = compact_drawn(ie, im, draw_m, dcap)
-                ovf = ovf | ovf_c
             else:
                 ce, cm, cv = ie, im, draw_m
             geom = process_geometry(
@@ -270,12 +289,19 @@ class Pipeline:
                 alpha_masks=assets.alpha_masks if self.use_alpha else None,
                 tri_ac=assets.tri_ac,
                 overdraw=cfg.render_mode == 7,
+                a2c_samples=cfg.supersample,
             )
             return dict(
                 ie=ce, im=cm, il=il, iv=cv, vis_m=vis_m, vis_e=vis_e,
                 full_ie=ie, full_il=il, full_iv=iv,
                 depth=depth, vis=vis, gb=gb,
-                overflow=ovf | bins.overflow,
+                # named per-capacity flags (the reference's runtime
+                # validation analog): which ceiling was hit, not just
+                # whether one was
+                overflow={
+                    "expand": ovf, "draw_compact": ovf_c,
+                    "pairs": bins.overflow,
+                },
             )
 
         if two_pass:
@@ -308,15 +334,19 @@ class Pipeline:
                 new_state, self.vis_offsets, late["full_ie"],
                 late["full_il"], late["full_iv"], late["vis_m"],
             )
-            overflow = early["overflow"] | late["overflow"]
+            overflow = {
+                **{"early_" + k: v for k, v in early["overflow"].items()},
+                **{"late_" + k: v for k, v in late["overflow"].items()},
+            }
         else:
             single = run_pass(PASS_SINGLE, None, None, None, 0)
             depth, vis, gb = single["depth"], single["vis"], single["gb"]
             inst = (single["ie"], single["im"], single["iv"])
             new_state = state
             overflow = single["overflow"]
+            pyramid = None
 
-        return depth, vis, gb, new_state, overflow, inst
+        return depth, vis, gb, new_state, overflow, inst, pyramid
 
     # ------------------------------------------------------------------
     def _frame_fused(
@@ -324,30 +354,157 @@ class Pipeline:
     ):
         """The fast path: tiled raster -> ONE fused Pallas shade kernel.
 
-        No image<->tile transposes anywhere except the cheap final
-        depth/vis/color conversions and the HiZ pyramid input."""
-        from orbit_tpu.raster.layout import tiles_to_image
+        Covers the full north-star effects stack: CSM shadows enter as
+        per-pixel lit planes (VSM: dense moment prefilter + one bilinear
+        tap; PCSS also works, at its gather cost), SSAO as an AO plane,
+        clustered point lights as per-tile light lists walked IN the
+        kernel, and bloom via the kernel's HDR-tile output mode. No
+        image<->tile transposes on the core path except the cheap final
+        conversions, the HiZ pyramid input and the effect-plane builds."""
+        from orbit_tpu.raster.layout import (
+            gbuf_tiles_to_rows,
+            image_to_tiles,
+            tiles_to_image,
+        )
+        from orbit_tpu.raster.kernel_common import GB_NRM, GB_ROWS
         from orbit_tpu.shade.fused import shade_deferred_tiled, unpack_color
 
         cfg = self.config
         W, H = cfg.width, cfg.height
         th, tw = cfg.raster.tile_h, cfg.raster.tile_w
-        depth_t, vis_t, gb_t, new_state, overflow, inst = (
+        depth_t, vis_t, gb_t, new_state, overflow, inst, pyramid = (
             self.cull_and_raster(
                 assets, scene, view, state, cull_view, tiled_io=True
             )
         )
         backend = cfg.raster.resolve_backend()
-        color_u32 = shade_deferred_tiled(
+        depth_img = tiles_to_image(depth_t, H, W, th, tw)
+
+        # geometric normal image (world space) for the effect planes
+        need_normals = cfg.shadows is not None or cfg.ssao is not None
+        if need_normals:
+            from orbit_tpu.math.transforms import normalize as _nrm
+
+            gb_rows = gbuf_tiles_to_rows(gb_t, GB_ROWS)
+            nrm_img = tiles_to_image(
+                gb_rows[GB_NRM : GB_NRM + 3], H, W, th, tw
+            )  # [3, H, W]
+            n_world = _nrm(nrm_img.reshape(3, -1).T)  # [H*W, 3]
+
+        # --- CSM shadows -> per-pixel lit planes (one per dir light)
+        lit_t = None
+        shadow_slots = ()
+        if cfg.shadows is not None and not view.is_ortho:
+            from orbit_tpu.scene import LIGHT_DIRECTIONAL
+
+            fovy = 2.0 * jnp.arctan(1.0 / view.proj[1, 1])
+            aspect = view.proj[1, 1] / view.proj[0, 0]
+            dir_lights = [
+                i
+                for i, t in enumerate(
+                    self.scene_meta.light_types[:num_lights]
+                )
+                if t == LIGHT_DIRECTIONAL
+            ]
+            if dir_lights:
+                inv_vp = jnp.linalg.inv(view.view_proj)
+                px = (
+                    jnp.arange(W * H, dtype=jnp.int32) % W
+                ).astype(jnp.float32) + 0.5
+                py = (
+                    jnp.arange(W * H, dtype=jnp.int32) // W
+                ).astype(jnp.float32) + 0.5
+                ndc = jnp.stack(
+                    [
+                        px / W * 2.0 - 1.0,
+                        (1.0 - py / H) * 2.0 - 1.0,
+                        depth_img.reshape(-1),
+                        jnp.ones((W * H,), jnp.float32),
+                    ],
+                    axis=-1,
+                )
+                wp = ndc @ inv_vp.T
+                wpos = wp[:, :3] / jnp.where(
+                    jnp.abs(wp[:, 3:4]) < 1e-20, 1.0, wp[:, 3:4]
+                )
+                pixel_xy = jnp.stack([px, py], axis=-1)
+                planes = []
+                for li in dir_lights:
+                    sset = shadow_mod.render_shadow_cascades(
+                        assets, scene, self.scene_meta.num_entities, view,
+                        fovy, aspect, scene.light_dir[li], cfg.shadows,
+                        raster_cfg=cfg.shadow_raster or cfg.raster,
+                        instance_capacity=cfg.instance_capacity,
+                        use_alpha=self.use_alpha,
+                        draw_capacity=cfg.shadow_draw_capacity,
+                        alpha_mode_mask=self.opaque_alpha_mask,
+                    )
+                    overflow["shadow"] = (
+                        overflow.get("shadow", False) | sset.overflow
+                    )
+                    lit = shadow_mod.shadow_factor(
+                        sset, wpos, n_world, scene.light_dir[li],
+                        scene.light_inner_radius[li], pixel_xy,
+                        cfg.shadows,
+                    )
+                    planes.append(
+                        image_to_tiles(lit.reshape(H, W), H, W, th, tw)
+                    )
+                lit_t = jnp.stack(planes)
+                shadow_slots = tuple(dir_lights)
+
+        # --- SSAO -> AO plane
+        ao_t = None
+        if cfg.ssao is not None and not view.is_ortho:
+            from orbit_tpu.passes import ssao as ssao_mod
+
+            normal_view = n_world @ view.view[:3, :3].T
+            ao_img = ssao_mod.compute_ssao(
+                depth_img, normal_view.reshape(H, W, 3), view, cfg.ssao
+            )
+            ao_t = image_to_tiles(ao_img, H, W, th, tw)
+
+        # --- clustered point lights -> per-tile lists (exact culling)
+        tile_lights = None
+        if cfg.clusters is not None:
+            from orbit_tpu.passes.cluster import build_tile_lights
+
+            ids, cnt, ovf = build_tile_lights(
+                depth_t, scene, num_lights, view, H, W, th, tw,
+                cfg.clusters.tile_light_cap,
+                cfg.clusters.luminance_cutoff,
+            )
+            # ovf counts fallback tiles (full-list loop) — a perf
+            # diagnostic, NOT an error: no light is ever dropped
+            del ovf
+            tile_lights = (ids, cnt)
+
+        emit_hdr = cfg.bloom is not None
+        res = shade_deferred_tiled(
             assets, scene, env, view, gb_t, depth_t,
             height=H, width=W, tile_h=th, tile_w=tw,
             light_kinds=tuple(self.scene_meta.light_types[:num_lights]),
             exposure=cfg.exposure,
             backend="xla" if backend == "xla" else "pallas",
             interpret=(backend == "pallas_interpret"),
+            lit_t=lit_t, shadow_slots=shadow_slots, ao_t=ao_t,
+            tile_lights=tile_lights, emit_hdr=emit_hdr,
         )
-        color = unpack_color(color_u32, H, W, th, tw)
-        depth_img = tiles_to_image(depth_t, H, W, th, tw)
+        hdr = None
+        if emit_hdr:
+            from orbit_tpu.passes import bloom as bloom_mod
+
+            ntp, tpx = depth_t.shape
+            hdr_rows = res.reshape(ntp, 4, tpx).transpose(1, 0, 2)[:3]
+            hdr = tiles_to_image(hdr_rows, H, W, th, tw).transpose(1, 2, 0)
+            bloom_img = bloom_mod.compute_bloom(hdr, cfg.bloom)
+            srgb = post_mod.tonemap(
+                hdr, cfg.exposure, bloom=bloom_img,
+                bloom_intensity=cfg.bloom.intensity,
+            )
+            color = post_mod.to_u8(srgb)
+        else:
+            color = unpack_color(res, H, W, th, tw)
         if cfg.debug is not None:
             from orbit_tpu.passes.debug_overlay import (
                 apply_overlay,
@@ -367,12 +524,21 @@ class Pipeline:
             color = apply_overlay(
                 color, depth_img, view.view_proj, segs, cols, cfg.debug
             )
+            if cfg.debug.depth_pyramid_mip >= 0 and pyramid is not None:
+                from orbit_tpu.passes.debug_overlay import (
+                    depth_pyramid_inset,
+                )
+
+                color = depth_pyramid_inset(
+                    color, pyramid, cfg.debug.depth_pyramid_mip
+                )
         out = {
             "color": color,
-            "hdr": None,
+            "hdr": hdr,
             "depth": depth_img,
             "vis": tiles_to_image(vis_t, H, W, th, tw),
-            "overflow": overflow,
+            "overflow": _any_overflow(overflow),
+            "overflow_detail": overflow,
         }
         return out, new_state
 
@@ -402,10 +568,6 @@ class Pipeline:
             and band is None
             and cfg.render_mode == 0
             and env is not None
-            and cfg.ssao is None
-            and cfg.clusters is None
-            and cfg.shadows is None
-            and cfg.bloom is None
             and cfg.supersample == 1
             and cfg.texture_filter == "nearest"
             and cfg.env_filter == "nearest"
@@ -415,8 +577,10 @@ class Pipeline:
                 assets, scene, view, env, state, num_lights, cull_view
             )
 
-        depth, vis, gb, new_state, overflow, inst = self.cull_and_raster(
-            assets, scene, view, state, cull_view, band=band
+        depth, vis, gb, new_state, overflow, inst, pyramid = (
+            self.cull_and_raster(
+                assets, scene, view, state, cull_view, band=band
+            )
         )
 
         inv_vp = jnp.linalg.inv(view.view_proj)
@@ -478,9 +642,13 @@ class Pipeline:
                         raster_cfg=cfg.shadow_raster or cfg.raster,
                         instance_capacity=cfg.instance_capacity,
                         use_alpha=self.use_alpha,
+                        draw_capacity=cfg.shadow_draw_capacity,
+                        alpha_mode_mask=self.opaque_alpha_mask,
                     )
                 for sset in shadow_sets.values():
-                    overflow = overflow | sset.overflow
+                    overflow["shadow"] = (
+                        overflow.get("shadow", False) | sset.overflow
+                    )
                 shadow_li = dir_lights[0]
                 shadows = shadow_sets[shadow_li]  # mode-1 visualization
                 px = (
@@ -515,7 +683,7 @@ class Pipeline:
             clusters = cluster_mod.build_clusters(
                 depth_full, scene, num_lights, view, cfg.clusters
             )
-            overflow = overflow | clusters.overflow
+            overflow["clusters"] = clusters.overflow
             cluster_ids = cluster_mod.pixel_cluster_ids(
                 depth_full, view, cfg.clusters
             )
@@ -646,9 +814,10 @@ class Pipeline:
             hdr = band.gather(hdr)
             depth = band.gather(depth)
             vis = band.gather(vis)
-            overflow = (
-                jax.lax.pmax(overflow.astype(jnp.int32), band.axis) > 0
-            )
+            overflow = {
+                k: jax.lax.pmax(v.astype(jnp.int32), band.axis) > 0
+                for k, v in overflow.items()
+            }
 
         if cfg.supersample > 1:
             from orbit_tpu.passes.hdr_resolve import resolve_supersampled
@@ -683,15 +852,26 @@ class Pipeline:
                 shadows=shadows,
                 inst_entity=inst[0], inst_meshlet=inst[1],
                 inst_valid=inst[2],
+                clusters_data=clusters,
+                inv_view=jnp.linalg.inv(view.view),
             )
             color = apply_overlay(
                 color, depth, view.view_proj, segs, cols, cfg.debug
             )
+            if cfg.debug.depth_pyramid_mip >= 0 and pyramid is not None:
+                from orbit_tpu.passes.debug_overlay import (
+                    depth_pyramid_inset,
+                )
+
+                color = depth_pyramid_inset(
+                    color, pyramid, cfg.debug.depth_pyramid_mip
+                )
         out = {
             "color": color,
             "hdr": hdr,
             "depth": depth,
             "vis": vis,
-            "overflow": overflow,
+            "overflow": _any_overflow(overflow),
+            "overflow_detail": overflow,
         }
         return out, new_state

@@ -155,6 +155,7 @@ def rasterize_gbuffer(
     alpha_masks=None,
     tri_ac=None,
     overdraw=True,
+    a2c_samples=1,
 ):
     """G-buffer raster: returns (depth, vis, gbuf [GB_ROWS,H,W], bins).
 
@@ -188,6 +189,7 @@ def rasterize_gbuffer(
             tile_row_offset=row0, tiled_io=tiled_io,
             alpha_masks=alpha_masks, inst_mask_slot=geom.mask_slot,
             inst_mid=geom.inst_mid, overdraw=overdraw,
+            a2c_samples=a2c_samples,
         )
     else:
         depth, vis, gb = rasterize_pallas_gbuffer(
@@ -199,5 +201,6 @@ def rasterize_gbuffer(
             pairs_per_step=cfg.pairs_per_step,
             alpha_masks=alpha_masks, inst_mask_slot=geom.mask_slot,
             inst_mid=geom.inst_mid, overdraw=overdraw,
+            a2c_samples=a2c_samples,
         )
     return depth, vis, gb, bins

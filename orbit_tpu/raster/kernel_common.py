@@ -175,9 +175,35 @@ def alpha_mask_texel_index(u, v, res: int = ALPHA_MASK_RES):
     return ui, vi
 
 
+def alpha_coverage_test(s, g, duv, xi, yi, a2c_samples: int):
+    """Winner keep/discard from the signed alpha field.
+
+    s = alpha - cutoff at the winner's uv; g = baked per-texel alpha
+    gradient. a2c_samples == 1: plain cutoff (keep iff s > 0, the
+    shadow/no-AA behavior, shadow.frag:23-38). a2c_samples == k > 1
+    (SSAA): the reference's mip-stable alpha-to-coverage sharpening
+    (forward_depth_prepass.frag:35-57) —
+        sharp = (alpha - cutoff) / fwidth(alpha) + 0.5
+    with fwidth reconstructed as g * R * |duv/dpixel| from the baked
+    gradient and the interpolator's analytic uv screen derivatives, then
+    dithered against ordered per-sub-sample coverage thresholds so edges
+    dissolve smoothly across the k*k shading samples (the TPU analog of
+    MSAA alpha-to-coverage). xi/yi: integer pixel coords in the
+    SUPERSAMPLED grid (sub-sample position = coords mod k). duv: the
+    per-pixel max |duv/dpixel| magnitude (same shape as s)."""
+    if a2c_samples <= 1:
+        return s > 0.0
+    fw = g * (ALPHA_MASK_RES * duv)
+    sharp = s / jnp.maximum(fw, 1e-6) + 0.5
+    k = a2c_samples
+    sub = (yi % k) * k + (xi % k)
+    thresh = (sub.astype(jnp.float32) + 0.5) * (1.0 / (k * k))
+    return sharp > thresh
+
+
 def raster_meshlet_gbuffer(
     setup_m, attrs_m, vis_base, xs, ys, depth, vis, gb, pix_mask=None,
-    alpha_masks=None, mask_slot=None, overdraw=True,
+    alpha_masks=None, mask_slot=None, overdraw=True, a2c_samples=1,
 ):
     """G-buffer variant of raster_meshlet_on_tile. Rank-2 pure.
 
@@ -227,8 +253,21 @@ def raster_meshlet_gbuffer(
             else jnp.round(attrs_m[CA_MASK_SLOT, 0]).astype(jnp.int32)
         )
         ui, vi = alpha_mask_texel_index(channels[GB_U], channels[GB_V])
-        a = alpha_masks[jnp.maximum(ms, 0) * ALPHA_MASK_RES + vi, ui]
-        win = win & ((ms < 0) | (a > 0.5))
+        row = jnp.maximum(ms, 0) * ALPHA_MASK_RES + vi
+        s = alpha_masks[row, ui]
+        g = alpha_masks[row, ui + ALPHA_MASK_RES]
+        duv = jnp.maximum(
+            jnp.maximum(
+                jnp.abs(channels[GB_DUDX]), jnp.abs(channels[GB_DVDX])
+            ),
+            jnp.maximum(
+                jnp.abs(channels[GB_DUDY]), jnp.abs(channels[GB_DVDY])
+            ),
+        )
+        xi = (xs - 0.5).astype(jnp.int32)
+        yi = (ys - 0.5).astype(jnp.int32)
+        keep = alpha_coverage_test(s, g, duv, xi, yi, a2c_samples)
+        win = win & ((ms < 0) | keep)
 
     new_depth = jnp.where(win, best_z, depth)
     new_vis = jnp.where(win, vis_base + best_tri, vis)
@@ -282,8 +321,8 @@ def raster_meshlet_depth_alpha(
     sel_s = setup_m[best_tri].T
     channels = eval_gbuffer_channels(sel_f, sel_s, xs, ys)
     ui, vi = alpha_mask_texel_index(channels[GB_U], channels[GB_V])
-    a = alpha_masks[jnp.maximum(ms, 0) * ALPHA_MASK_RES + vi, ui]
-    win = win & ((ms < 0) | (a > 0.5))
+    s = alpha_masks[jnp.maximum(ms, 0) * ALPHA_MASK_RES + vi, ui]
+    win = win & ((ms < 0) | (s > 0.0))
 
     new_depth = jnp.where(win, best_z, depth)
     new_vis = jnp.where(win, vis_base + best_tri, vis)

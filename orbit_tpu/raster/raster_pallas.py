@@ -467,7 +467,7 @@ def _depth_alpha_kernel(
                 iota_c = jax.lax.broadcasted_iota(jnp.int32, (128, tpx), 0)
                 oh_u = (iota_c == ui).astype(jnp.float32)
                 a = jnp.sum(B * oh_u, axis=0, keepdims=True)
-                ok = a > 0.5
+                ok = a > 0.0  # signed alpha field: keep iff alpha > cutoff
                 win_s[...] = jnp.where(
                     ok, win_s[...], jnp.zeros((1, tpx), jnp.float32)
                 )
@@ -625,6 +625,7 @@ def rasterize_pallas_depth_alpha(
 def _gbuffer_kernel(
     meta_ref, tq_ref, pslot_ref, pmid_ref, rowoff_ref, *refs,
     tile_h, tile_w, ntx, vis_base_offset, pack, use_alpha, overdraw,
+    a2c_samples=1,
 ):
     setup_refs = refs[:pack]
     attrs_refs = refs[pack : 2 * pack]
@@ -790,8 +791,13 @@ def _gbuffer_kernel(
                     def _():
                         from orbit_tpu.raster.kernel_common import (
                             ALPHA_MASK_RES,
+                            GB_DUDX,
+                            GB_DUDY,
+                            GB_DVDX,
+                            GB_DVDY,
                             GB_U,
                             GB_V,
+                            alpha_coverage_test,
                             alpha_mask_texel_index,
                         )
 
@@ -804,7 +810,9 @@ def _gbuffer_kernel(
                             jnp.int32, (R, tpx), 0
                         )
                         oh_v = (iota_r == vi).astype(jnp.float32)
-                        # B[c,p] = sum_i mblk[i,c] * oh_v[i,p]
+                        # B[c,p] = sum_i mblk[i,c] * oh_v[i,p]: one
+                        # matmul materializes BOTH mask channels (s in
+                        # cols 0..R-1, gradient in cols R..2R-1)
                         B = jax.lax.dot_general(
                             mblk, oh_v, (((0,), (0,)), ((), ())),
                             precision=jax.lax.Precision.HIGHEST,
@@ -813,8 +821,30 @@ def _gbuffer_kernel(
                             jnp.int32, (128, tpx), 0
                         )
                         oh_u = (iota_c == ui).astype(jnp.float32)
-                        a = jnp.sum(B * oh_u, axis=0, keepdims=True)
-                        ok = a > 0.5
+                        s_a = jnp.sum(B * oh_u, axis=0, keepdims=True)
+                        oh_g = (iota_c == ui + R).astype(jnp.float32)
+                        g_a = jnp.sum(B * oh_g, axis=0, keepdims=True)
+                        duv = jnp.maximum(
+                            jnp.maximum(
+                                jnp.abs(channels[GB_DUDX : GB_DUDX + 1]),
+                                jnp.abs(channels[GB_DVDX : GB_DVDX + 1]),
+                            ),
+                            jnp.maximum(
+                                jnp.abs(channels[GB_DUDY : GB_DUDY + 1]),
+                                jnp.abs(channels[GB_DVDY : GB_DVDY + 1]),
+                            ),
+                        )
+                        flat_i = jax.lax.broadcasted_iota(
+                            jnp.int32, (1, tpx), 1
+                        )
+                        xi = tile % ntx * tile_w + flat_i % tile_w
+                        yi = (
+                            (tile // ntx + rowoff_ref[0]) * tile_h
+                            + flat_i // tile_w
+                        )
+                        ok = alpha_coverage_test(
+                            s_a, g_a, duv, xi, yi, a2c_samples
+                        )
                         win_s[...] = jnp.where(
                             ok, win_s[...], jnp.zeros((1, tpx), jnp.float32)
                         )
@@ -859,6 +889,7 @@ def rasterize_pallas_gbuffer(
     inst_mask_slot=None,
     inst_mid=None,
     overdraw=True,
+    a2c_samples=1,
 ):
     """G-buffer rasterizer. setup: [I,64,12]; attrs: the ASSET-side
     corner-attr array tri_ac [M, CA_ROWS, 64] (baked once at load),
@@ -1013,6 +1044,7 @@ def rasterize_pallas_gbuffer(
                 pack=pack,
                 use_alpha=use_alpha,
                 overdraw=overdraw,
+                a2c_samples=a2c_samples,
             ),
             grid_spec=grid_spec,
             out_shape=[

@@ -195,7 +195,7 @@ def rasterize_xla_gbuffer(
     setup, attrs, bins: BinLists, height, width, tile_h, tile_w,
     init=None, vis_base_offset: int = 0, tile_row_offset=0,
     tiled_io: bool = False, alpha_masks=None, inst_mask_slot=None,
-    inst_mid=None, overdraw=True,
+    inst_mid=None, overdraw=True, a2c_samples=1,
 ):
     """G-buffer rasterizer (XLA fallback / differential reference).
 
@@ -271,7 +271,7 @@ def rasterize_xla_gbuffer(
             nd, nv, ng = raster_meshlet_gbuffer(
                 setup_m, attrs_m, vis_base, xs, ys, depth, vis, gb,
                 pix_mask=mask, alpha_masks=alpha_masks, mask_slot=ms,
-                overdraw=overdraw,
+                overdraw=overdraw, a2c_samples=a2c_samples,
             )
             nd = jnp.where(active, nd, depth)
             nv = jnp.where(active, nv, vis)

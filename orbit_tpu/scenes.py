@@ -257,7 +257,7 @@ def bistro_scene(buildings: int = 48, props: int = 220, seed: int = 2,
     return store, sb
 
 
-def bistro_xl_scene(seed: int = 2):
+def bistro_xl_scene(seed: int = 2, point_lights: int = 0):
     """Reference-class content: the XL street scene. Unique LOD0 geometry
     >= 1.2M triangles / ~20k meshlets (the reference Bistro exterior is
     ~3M tris); with the 0.8x LOD chains the asset store carries 60-80k
@@ -357,7 +357,9 @@ def bistro_xl_scene(seed: int = 2):
     pole.material = mats["metal"]
     pl = store.add_mesh(pole, lod_step=0.55)
 
-    sb = SceneBuilder(entity_capacity=8192, light_capacity=64)
+    sb = SceneBuilder(
+        entity_capacity=8192, light_capacity=max(64, point_lights + 8)
+    )
     for gx in range(-6, 7):
         for gz in range(-3, 4):
             sb.add_entity(g, translation=(gx * 20.0, 0.0, gz * 20.0))
@@ -423,6 +425,21 @@ def bistro_xl_scene(seed: int = 2):
         LIGHT_DIRECTIONAL, direction=(0.4, 0.8, 0.3),
         color=(1.0, 0.95, 0.85), intensity=3.0, inner_radius=0.5,
     )
+    # street lamps (clustered-light fodder, BASELINE config 3/5): warm
+    # points staggered down both sides of the street at lamp height
+    for i in range(point_lights):
+        t = (i // 2) / max(point_lights // 2 - 1, 1)
+        side = -1.0 if i % 2 == 0 else 1.0
+        x = -110 + t * 220 + float(rng.uniform(-2, 2))
+        z = side * float(rng.uniform(5.0, 7.5)) + np.sin(t * 4.0) * 5.0
+        sb.add_light(
+            LIGHT_POINT,
+            position=(x, float(rng.uniform(2.5, 4.0)), z),
+            color=(1.0, 0.75, 0.45),
+            intensity=float(rng.uniform(2.0, 5.0)),
+            inner_radius=0.1,
+            outer_radius=6.0,
+        )
     return store, sb
 
 

@@ -89,7 +89,77 @@ def _byte(w, b):
     return v.astype(jnp.float32) * (1.0 / 255.0)
 
 
-def _shade_core(P, light_kinds, gbrow, depth, words, spec, x, y, W, H):
+def _calc_light(
+    nx, ny, nz, vx, vy, vz, f0r, f0g, f0b,
+    base_r, base_g, base_b, metallic, roughness,
+    lx, ly, lz, cr, cg, cb, att,
+):
+    """Cook-Torrance direct light on component arrays (forward.frag
+    calculate_light). Module-level so the in-kernel per-tile point-light
+    loop and the full-array paths share one expression tree (bit-identical
+    accumulation)."""
+    hx, hy, hz = vx + lx, vy + ly, vz + lz
+    hinv = 1.0 / jnp.maximum(
+        jnp.sqrt(hx * hx + hy * hy + hz * hz), 1e-12
+    )
+    hx, hy, hz = hx * hinv, hy * hinv, hz * hinv
+    ndv = jnp.maximum(nx * vx + ny * vy + nz * vz, 1e-5)
+    ndl = jnp.maximum(nx * lx + ny * ly + nz * lz, 1e-5)
+    ndh = jnp.maximum(nx * hx + ny * hy + nz * hz, 0.0)
+    hdv = jnp.maximum(hx * vx + hy * vy + hz * vz, 0.0)
+    a = roughness * roughness
+    a2 = a * a
+    den = ndh * ndh * (a2 - 1.0) + 1.0
+    d = a2 / jnp.maximum(_PI * den * den, 1e-5)
+    rr = roughness + 1.0
+    k = rr * rr / 8.0
+    g1 = ndv / (ndv * (1.0 - k) + k)
+    g2 = ndl / (ndl * (1.0 - k) + k)
+    g = g1 * g2
+    fc = (1.0 - hdv) ** 5
+    fr = f0r + (1.0 - f0r) * fc
+    fg = f0g + (1.0 - f0g) * fc
+    fb = f0b + (1.0 - f0b) * fc
+    dg = d * g / (4.0 * ndv * ndl)
+    scale = att * ndl
+    one_m = 1.0 - metallic
+    out_r = ((1.0 - fr) * one_m * base_r / _PI + dg * fr) * cr * scale
+    out_g = ((1.0 - fg) * one_m * base_g / _PI + dg * fg) * cg * scale
+    out_b = ((1.0 - fb) * one_m * base_b / _PI + dg * fb) * cb * scale
+    return out_r, out_g, out_b
+
+
+def _point_light_contrib(P, o, ctx):
+    """One point light (slot params at SMEM offset o) on the component
+    arrays in ctx. Shared by the static light loop, the in-kernel tile
+    loop and the XLA twin's tile loop — one expression tree."""
+    cr, cg, cb = P(o + 3), P(o + 4), P(o + 5)
+    dx = P(o + 6) - ctx["wx"]
+    dy = P(o + 7) - ctx["wy"]
+    dz = P(o + 8) - ctx["wz"]
+    dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    dinv = 1.0 / jnp.maximum(dist, 1e-12)
+    lx, ly, lz = dx * dinv, dy * dinv, dz * dinv
+    dist = jnp.maximum(dist, P(o + 10))
+    d2 = dist * dist
+    outer = P(o + 11)
+    att = jnp.maximum(
+        P(o + 9) / d2 - _LUM_CUTOFF * d2 / (outer * outer), 0.0
+    )
+    return _calc_light(
+        ctx["nx"], ctx["ny"], ctx["nz"],
+        ctx["vx"], ctx["vy"], ctx["vz"],
+        ctx["f0r"], ctx["f0g"], ctx["f0b"],
+        ctx["base_r"], ctx["base_g"], ctx["base_b"],
+        ctx["metallic"], ctx["roughness"],
+        lx, ly, lz, cr, cg, cb, att,
+    )
+
+
+def _shade_core(
+    P, light_kinds, gbrow, depth, words, spec, x, y, W, H,
+    lit_map=None, ao_in=None, skip_points=False, tile_pts=None,
+):
     """The whole deferred shade on component arrays of one pixel block.
 
     P: scalar accessor (SMEM ref or traced array indexing); gbrow(r) ->
@@ -97,6 +167,15 @@ def _shade_core(P, light_kinds, gbrow, depth, words, spec, x, y, W, H):
     spec: 3 f32 arrays (prefiltered-env sample along reflection/camera
     rays); x/y: global pixel centers. Returns (r, g, b) HDR + background
     already composited (valid = depth > 0).
+
+    lit_map: {light slot: per-pixel lit factor array} — CSM shadow
+    planes multiplying that directional light's contribution.
+    ao_in: per-pixel SSAO factor, min'd into the material AO
+    (gbuffer.surface_from_gbuffer parity). skip_points: point lights are
+    handled by the tile_pts loop instead of the static light loop.
+    tile_pts: callable(ctx) -> (r, g, b) accumulating the per-tile
+    clustered point-light lists; ctx carries the per-pixel component
+    arrays (see _point_light_contrib).
     """
     valid = depth > 0.0
 
@@ -117,6 +196,8 @@ def _shade_core(P, light_kinds, gbrow, depth, words, spec, x, y, W, H):
     em_g = mix(gbrow(GB_EMISSIVE + 1), _srgb2lin(tex[9]))
     em_b = mix(gbrow(GB_EMISSIVE + 2), _srgb2lin(tex[10]))
     ao = jnp.where(has, tex[11], 1.0)
+    if ao_in is not None:
+        ao = jnp.minimum(ao, ao_in)
 
     # ---- normal mapping (gbuffer.surface_from_gbuffer parity)
     ngx, ngy, ngz = _rnorm3(
@@ -170,35 +251,11 @@ def _shade_core(P, light_kinds, gbrow, depth, words, spec, x, y, W, H):
     f0b = 0.04 * (1.0 - metallic) + base_b * metallic
 
     def calculate_light(lx, ly, lz, cr, cg, cb, att):
-        hx, hy, hz = vx + lx, vy + ly, vz + lz
-        hinv = 1.0 / jnp.maximum(
-            jnp.sqrt(hx * hx + hy * hy + hz * hz), 1e-12
+        return _calc_light(
+            nx, ny, nz, vx, vy, vz, f0r, f0g, f0b,
+            base_r, base_g, base_b, metallic, roughness,
+            lx, ly, lz, cr, cg, cb, att,
         )
-        hx, hy, hz = hx * hinv, hy * hinv, hz * hinv
-        ndv = jnp.maximum(nx * vx + ny * vy + nz * vz, 1e-5)
-        ndl = jnp.maximum(nx * lx + ny * ly + nz * lz, 1e-5)
-        ndh = jnp.maximum(nx * hx + ny * hy + nz * hz, 0.0)
-        hdv = jnp.maximum(hx * vx + hy * vy + hz * vz, 0.0)
-        a = roughness * roughness
-        a2 = a * a
-        den = ndh * ndh * (a2 - 1.0) + 1.0
-        d = a2 / jnp.maximum(_PI * den * den, 1e-5)
-        rr = roughness + 1.0
-        k = rr * rr / 8.0
-        g1 = ndv / (ndv * (1.0 - k) + k)
-        g2 = ndl / (ndl * (1.0 - k) + k)
-        g = g1 * g2
-        fc = (1.0 - hdv) ** 5
-        fr = f0r + (1.0 - f0r) * fc
-        fg = f0g + (1.0 - f0g) * fc
-        fb = f0b + (1.0 - f0b) * fc
-        dg = d * g / (4.0 * ndv * ndl)
-        scale = att * ndl
-        one_m = 1.0 - metallic
-        out_r = ((1.0 - fr) * one_m * base_r / _PI + dg * fr) * cr * scale
-        out_g = ((1.0 - fg) * one_m * base_g / _PI + dg * fg) * cg * scale
-        out_b = ((1.0 - fb) * one_m * base_b / _PI + dg * fb) * cb * scale
-        return out_r, out_g, out_b
 
     for li, kind in enumerate(light_kinds):
         o = _P_LIGHT + li * _P_PER_LIGHT
@@ -258,20 +315,33 @@ def _shade_core(P, light_kinds, gbrow, depth, words, spec, x, y, W, H):
                 P(o), P(o + 1), P(o + 2), cr, cg, cb,
                 jnp.ones_like(n_dot_v),
             )
+            if lit_map is not None and li in lit_map:
+                lit = lit_map[li]
+                lr, lg, lb = lr * lit, lg * lit, lb * lit
             sum_r, sum_g, sum_b = sum_r + lr, sum_g + lg, sum_b + lb
         else:  # LIGHT_POINT
-            dx, dy, dz = P(o + 6) - wx, P(o + 7) - wy, P(o + 8) - wz
-            dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-            dinv = 1.0 / jnp.maximum(dist, 1e-12)
-            lx, ly, lz = dx * dinv, dy * dinv, dz * dinv
-            dist = jnp.maximum(dist, P(o + 10))
-            d2 = dist * dist
-            outer = P(o + 11)
-            att = jnp.maximum(
-                P(o + 9) / d2 - _LUM_CUTOFF * d2 / (outer * outer), 0.0
+            if skip_points:
+                continue
+            ctx0 = dict(
+                nx=nx, ny=ny, nz=nz, vx=vx, vy=vy, vz=vz,
+                f0r=f0r, f0g=f0g, f0b=f0b,
+                base_r=base_r, base_g=base_g, base_b=base_b,
+                metallic=metallic, roughness=roughness,
+                wx=wx, wy=wy, wz=wz,
             )
-            lr, lg, lb = calculate_light(lx, ly, lz, cr, cg, cb, att)
+            lr, lg, lb = _point_light_contrib(P, o, ctx0)
             sum_r, sum_g, sum_b = sum_r + lr, sum_g + lg, sum_b + lb
+
+    if tile_pts is not None:
+        ctx = dict(
+            nx=nx, ny=ny, nz=nz, vx=vx, vy=vy, vz=vz,
+            f0r=f0r, f0g=f0g, f0b=f0b,
+            base_r=base_r, base_g=base_g, base_b=base_b,
+            metallic=metallic, roughness=roughness,
+            wx=wx, wy=wy, wz=wz,
+        )
+        pr, pg, pb = tile_pts(ctx)
+        sum_r, sum_g, sum_b = sum_r + pr, sum_g + pg, sum_b + pb
 
     # sky background composite: the spec input already carries the
     # prefiltered-env sample along the camera ray for invalid pixels
@@ -564,9 +634,20 @@ def _prepass(
 
 
 def _kernel(
-    params_ref, gb_ref, depth_ref, words_ref, spec_ref, out_ref,
-    *, ntx, tile_h, tile_w, W, H, light_kinds,
+    params_ref, *refs,
+    ntx, tile_h, tile_w, W, H, light_kinds,
+    lit_slots, has_ao, tl_cap, emit_hdr, point_slots=(),
 ):
+    refs = list(refs)
+    tli_ref = tlc_ref = gpl_ref = None
+    if tl_cap:
+        tli_ref, tlc_ref, gpl_ref = refs.pop(0), refs.pop(0), refs.pop(0)
+    gb_ref, depth_ref, words_ref, spec_ref = refs[:4]
+    refs = refs[4:]
+    lit_ref = refs.pop(0) if lit_slots else None
+    ao_ref = refs.pop(0) if has_ao else None
+    out_ref = refs.pop(0)
+
     g = pl.program_id(0)
     tpx = tile_h * tile_w
     s_idx = jax.lax.broadcasted_iota(jnp.int32, (_GROUP, tpx), 0)
@@ -586,11 +667,74 @@ def _kernel(
         for k in range(4)
     ]
     spec = [spec_ref[k] for k in range(3)]
-    r, g_, b = _shade_core(
-        P, light_kinds, gbrow, depth_ref[...], words, spec, x, y, W, H
+    lit_map = (
+        {slot: lit_ref[d] for d, slot in enumerate(lit_slots)}
+        if lit_slots
+        else None
     )
-    packed = _tonemap_pack(r, g_, b, P(_P_EXPOSURE))
-    out_ref[...] = jax.lax.bitcast_convert_type(packed, jnp.int32)
+    ao_in = ao_ref[...] if has_ao else None
+
+    tile_pts = None
+    if tl_cap:
+        from orbit_tpu.passes.cluster import TILE_LIGHTS_FALLBACK
+
+        n_pts = len(point_slots)
+
+        # per-tile clustered point lights: dynamic-trip loop over this
+        # tile's light list (SMEM), light params read from the same SMEM
+        # params vector the static loop uses. A tile whose list
+        # overflowed (count == sentinel) walks the FULL point list
+        # instead — exact either way, and only pathological tiles pay.
+        def tile_pts(ctx):
+            rows = ([], [], [])
+            for j in range(_GROUP):
+                tj = g * _GROUP + j
+                cnt_raw = tlc_ref[tj]
+                is_fb = cnt_raw == TILE_LIGHTS_FALLBACK
+                cnt = jnp.where(is_fb, 0, cnt_raw)
+                ctx_j = {k: v[j : j + 1] for k, v in ctx.items()}
+
+                def body(k, acc, tj=tj, ctx_j=ctx_j):
+                    # ids are u16-packed two-per-word (SMEM budget: the
+                    # id table is the dominant prefetch array)
+                    w = tli_ref[tj * (tl_cap // 2) + k // 2]
+                    lid = (w >> ((k % 2) * 16)) & 0xFFFF
+                    o = _P_LIGHT + lid * _P_PER_LIGHT
+                    cr, cg, cb = _point_light_contrib(P, o, ctx_j)
+                    return (acc[0] + cr, acc[1] + cg, acc[2] + cb)
+
+                def body_all(k, acc, ctx_j=ctx_j):
+                    w = gpl_ref[k // 2]
+                    lid = (w >> ((k % 2) * 16)) & 0xFFFF
+                    o = _P_LIGHT + lid * _P_PER_LIGHT
+                    cr, cg, cb = _point_light_contrib(P, o, ctx_j)
+                    return (acc[0] + cr, acc[1] + cg, acc[2] + cb)
+
+                z = jnp.zeros((1, tpx), jnp.float32)
+                acc = jax.lax.fori_loop(0, cnt, body, (z, z, z))
+                acc = jax.lax.fori_loop(
+                    0, jnp.where(is_fb, n_pts, 0), body_all, acc
+                )
+                rows[0].append(acc[0])
+                rows[1].append(acc[1])
+                rows[2].append(acc[2])
+            return tuple(jnp.concatenate(r, axis=0) for r in rows)
+
+    r, g_, b = _shade_core(
+        P, light_kinds, gbrow, depth_ref[...], words, spec, x, y, W, H,
+        lit_map=lit_map, ao_in=ao_in, skip_points=bool(tl_cap),
+        tile_pts=tile_pts,
+    )
+    if emit_hdr:
+        zero = jnp.zeros((1, tpx), jnp.float32)
+        for j in range(_GROUP):
+            out_ref[pl.ds(4 * j + 0, 1), :] = r[j : j + 1]
+            out_ref[pl.ds(4 * j + 1, 1), :] = g_[j : j + 1]
+            out_ref[pl.ds(4 * j + 2, 1), :] = b[j : j + 1]
+            out_ref[pl.ds(4 * j + 3, 1), :] = zero
+    else:
+        packed = _tonemap_pack(r, g_, b, P(_P_EXPOSURE))
+        out_ref[...] = jax.lax.bitcast_convert_type(packed, jnp.int32)
 
 
 def shade_deferred_tiled(
@@ -609,11 +753,26 @@ def shade_deferred_tiled(
     exposure: float = 1.0,
     backend: str = "pallas",
     interpret: bool = False,
+    lit_t=None,  # [nd, ntp, tpx] f32 CSM lit planes (one per shadowed dir)
+    shadow_slots=(),  # static light-slot index per lit plane
+    ao_t=None,  # [ntp, tpx] f32 SSAO factor
+    tile_lights=None,  # ([ntp, K] i32 ids, [ntp] i32 counts): clustered
+    #   point lights — when given, POINT kinds leave the static loop and
+    #   run as a per-tile dynamic loop (exact: culled lights have zero
+    #   attenuation everywhere in the tile)
+    emit_hdr: bool = False,  # output linear HDR tiles [ntp*4, tpx]
+    #   (rows r,g,b,0 per tile) instead of tonemapped packed RGBA8 —
+    #   the bloom path needs the HDR image
 ):
-    """Fused deferred shade + post. Returns packed RGBA8 [ntp, tpx] u32."""
+    """Fused deferred shade + post. Returns packed RGBA8 [ntp, tpx] u32,
+    or HDR tiles [ntp*4, tpx] f32 when emit_hdr."""
     ntp, tpx = depth_t.shape
     ntx = -(-width // tile_w)
     light_kinds = tuple(int(k) for k in light_kinds)
+    shadow_slots = tuple(int(s) for s in shadow_slots)
+    point_slots = tuple(
+        i for i, k in enumerate(light_kinds) if k == LIGHT_POINT
+    )
 
     from orbit_tpu.raster.layout import gbuf_tiles_to_rows
 
@@ -623,6 +782,7 @@ def shade_deferred_tiled(
         assets, env, params, gb_rows, depth_t, ntx, tile_h, tile_w,
         height, width, backend=backend, interpret=interpret,
     )
+    tl_cap = tile_lights[0].shape[1] if tile_lights is not None else 0
 
     if backend == "xla":
         t_idx = jax.lax.broadcasted_iota(jnp.int32, (ntp, tpx), 0)
@@ -638,12 +798,113 @@ def shade_deferred_tiled(
             for k in range(4)
         ]
         spec = [spec_r[k] for k in range(3)]
+        lit_map = (
+            {s: lit_t[d] for d, s in enumerate(shadow_slots)}
+            if shadow_slots
+            else None
+        )
+
+        tile_pts = None
+        if tl_cap:
+            from orbit_tpu.passes.cluster import TILE_LIGHTS_FALLBACK
+
+            tli, tlc = tile_lights
+            gp = jnp.asarray(point_slots, jnp.int32)
+            fallback = tlc == TILE_LIGHTS_FALLBACK
+
+            def tile_pts(ctx):
+                # same per-pixel accumulation order as the kernel's
+                # dynamic-trip loops: masked adds of zero are exact no-ops
+                def P_t(i):
+                    return params[i][..., None]  # [ntp, 1] per-tile scalar
+
+                z = jnp.zeros((ntp, tpx), jnp.float32)
+
+                def body(k, acc):
+                    lid = tli[:, k]  # [ntp]
+                    o = _P_LIGHT + lid * _P_PER_LIGHT
+                    cr, cg, cb = _point_light_contrib(P_t, o, ctx)
+                    live = ((k < tlc) & ~fallback)[:, None]
+                    return (
+                        acc[0] + jnp.where(live, cr, 0.0),
+                        acc[1] + jnp.where(live, cg, 0.0),
+                        acc[2] + jnp.where(live, cb, 0.0),
+                    )
+
+                acc = jax.lax.fori_loop(0, tl_cap, body, (z, z, z))
+
+                def body_all(k, acc):
+                    # overflowed tiles: the full point list (still exact)
+                    lid = gp[k]
+                    o = _P_LIGHT + lid * _P_PER_LIGHT
+                    cr, cg, cb = _point_light_contrib(
+                        lambda i: params[i], o, ctx
+                    )
+                    live = fallback[:, None]
+                    return (
+                        acc[0] + jnp.where(live, cr, 0.0),
+                        acc[1] + jnp.where(live, cg, 0.0),
+                        acc[2] + jnp.where(live, cb, 0.0),
+                    )
+
+                if len(point_slots):
+                    acc = jax.lax.fori_loop(
+                        0, len(point_slots), body_all, acc
+                    )
+                return acc
+
         r, g, b = _shade_core(
             lambda i: params[i], light_kinds,
             lambda rr: gb_rows[rr], depth_t, words, spec, x, y,
             width, height,
+            lit_map=lit_map, ao_in=ao_t, skip_points=bool(tl_cap),
+            tile_pts=tile_pts,
         )
+        if emit_hdr:
+            zero = jnp.zeros_like(r)
+            return (
+                jnp.stack([r, g, b, zero], axis=1).reshape(ntp * 4, tpx)
+            )
         return _tonemap_pack(r, g, b, params[_P_EXPOSURE])
+
+    prefetch = [params]
+    in_specs = [
+        pl.BlockSpec((GB_ROWS, _GROUP, tpx), lambda g, *p: (0, g, 0)),
+        pl.BlockSpec((_GROUP, tpx), lambda g, *p: (g, 0)),
+        pl.BlockSpec((4, _GROUP, tpx), lambda g, *p: (0, g, 0)),
+        pl.BlockSpec((4, _GROUP, tpx), lambda g, *p: (0, g, 0)),
+    ]
+    operands = [gb_rows, depth_t, words_r, spec_r]
+    if tl_cap:
+        assert tl_cap % 2 == 0, "tile_light_cap must be even (u16 packing)"
+        tli, tlc = tile_lights
+        flat = tli.reshape(-1)
+        packed = (flat[0::2] & 0xFFFF) | (flat[1::2] << 16)
+        # global point-slot list for fallback tiles (u16-packed)
+        gp = np.asarray(point_slots, np.int32)
+        if gp.size % 2:
+            gp = np.concatenate([gp, gp[-1:]])
+        gp_packed = jnp.asarray(
+            (gp[0::2] & 0xFFFF) | (gp[1::2] << 16), jnp.int32
+        )
+        if gp_packed.size == 0:
+            gp_packed = jnp.zeros((1,), jnp.int32)
+        prefetch += [packed, tlc, gp_packed]
+    if lit_t is not None and shadow_slots:
+        nd = len(shadow_slots)
+        in_specs.append(
+            pl.BlockSpec((nd, _GROUP, tpx), lambda g, *p: (0, g, 0))
+        )
+        operands.append(lit_t)
+    if ao_t is not None:
+        in_specs.append(pl.BlockSpec((_GROUP, tpx), lambda g, *p: (g, 0)))
+        operands.append(ao_t)
+    if emit_hdr:
+        out_spec = pl.BlockSpec((4 * _GROUP, tpx), lambda g, *p: (g, 0))
+        out_shape = jax.ShapeDtypeStruct((ntp * 4, tpx), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec((_GROUP, tpx), lambda g, *p: (g, 0))
+        out_shape = jax.ShapeDtypeStruct((ntp, tpx), jnp.int32)
 
     out = pl.pallas_call(
         functools.partial(
@@ -654,24 +915,24 @@ def shade_deferred_tiled(
             W=width,
             H=height,
             light_kinds=light_kinds,
+            lit_slots=shadow_slots if lit_t is not None else (),
+            has_ao=ao_t is not None,
+            tl_cap=tl_cap,
+            emit_hdr=emit_hdr,
+            point_slots=point_slots,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=len(prefetch),
             grid=(ntp // _GROUP,),
-            in_specs=[
-                pl.BlockSpec(
-                    (GB_ROWS, _GROUP, tpx), lambda g, p: (0, g, 0)
-                ),
-                pl.BlockSpec((_GROUP, tpx), lambda g, p: (g, 0)),
-                pl.BlockSpec((4, _GROUP, tpx), lambda g, p: (0, g, 0)),
-                pl.BlockSpec((4, _GROUP, tpx), lambda g, p: (0, g, 0)),
-            ],
-            out_specs=pl.BlockSpec((_GROUP, tpx), lambda g, p: (g, 0)),
+            in_specs=in_specs,
+            out_specs=out_spec,
         ),
-        out_shape=jax.ShapeDtypeStruct((ntp, tpx), jnp.int32),
+        out_shape=out_shape,
         interpret=interpret,
         name="shade_deferred",
-    )(params, gb_rows, depth_t, words_r, spec_r)
+    )(*prefetch, *operands)
+    if emit_hdr:
+        return out
     return jax.lax.bitcast_convert_type(out, jnp.uint32)
 
 

@@ -18,34 +18,15 @@ def main(top_n=45):
     import numpy as np
     import jax
 
-    from orbit_tpu.assets import procedural as proc
+    from bench import build
     from orbit_tpu.camera import make_perspective_view
-    from orbit_tpu.pipeline import CullSettings, Pipeline, PipelineConfig
-    from orbit_tpu.raster import RasterConfig
-    from orbit_tpu.scenes import BENCH_CAMERAS, bistro_flythrough, bistro_xl_scene
-    from orbit_tpu.shade import ibl as ibl_mod
+    from orbit_tpu.scenes import bistro_flythrough
     from pass_timing import device_op_timeline
 
-    W, H = 1920, 1080
-    store, sb = bistro_xl_scene()
-    assets, ameta = store.to_device()
-    scene, smeta = sb.to_device()
-    env = ibl_mod.build_environment(
-        proc.gradient_envmap(256, 128), cube_res=64, irr_res=16,
-        spec_mips=4, spec_samples=64, brdf_res=64, brdf_samples=128,
-    )
-    cfg = PipelineConfig(
-        width=W, height=H,
-        raster=RasterConfig(
-            backend="pallas", tile_h=16, tile_w=128, pair_capacity=147456
-        ),
-        cull=CullSettings(lod_base=3.0, lod_step=1.45),
-        instance_capacity=49152,
-        late_pair_capacity=49152,
-    )
-    pipe = Pipeline(
-        cfg, ameta, smeta, store.h["mesh_lod_count"], smeta.entity_mesh_host
-    )
+    b = build()
+    W, H = b["W"], b["H"]
+    assets, scene, env = b["assets"], b["scene"], b["env"]
+    pipe, smeta = b["pipe"], b["smeta"]
     eye, look = bistro_flythrough(20, 40)
     view = make_perspective_view(
         eye=eye, target=look, aspect=W / H, fovy=np.radians(60.0)

@@ -93,11 +93,24 @@ def frame_pass_times(run_fn):
     ]
     last_shade = shade_idx[-1] if shade_idx else last_late
 
+    # shadow-cascade raster kernels have their own names; the glue
+    # between the first and last of them is the cascades' cull/geom/bin
+    # + VSM prefilter + per-pixel shadow factor work
+    shadow_idx = [
+        i
+        for i, (n, _, _) in enumerate(evs)
+        if is_anchor(n, "raster_depth")  # matches raster_depth_alpha too
+    ]
+    shadow_lo = min(shadow_idx) if shadow_idx else -1
+    shadow_hi = max(shadow_idx) if shadow_idx else -1
+
     for i, (name, off, dur) in enumerate(evs):
         if i in early_set:
             add("raster_early", dur)
         elif i in late_set:
             add("raster_late", dur)
+        elif is_anchor(name, "raster_depth"):
+            add("shadow_raster", dur)
         elif is_anchor(name, "ctex_addr") or is_anchor(name, "spec_addr"):
             add("shade_addr_kernels", dur)
         elif is_anchor(name, "shade_deferred"):
@@ -106,6 +119,8 @@ def frame_pass_times(run_fn):
             add("early_cull_geom_bin", dur)
         elif i < (min(late_set) if late_set else last_early + 1):
             add("hiz_late_cull_geom_bin", dur)
+        elif shadow_lo <= i <= shadow_hi:
+            add("shadow_glue", dur)
         elif i < last_shade:
             # dominated by the two per-pixel texel gathers
             add("shade_gathers_glue", dur)
@@ -121,37 +136,14 @@ if __name__ == "__main__":
     import sys
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-    import numpy as np
     import jax
 
-    from orbit_tpu.assets import procedural as proc
-    from orbit_tpu.camera import make_perspective_view
-    from orbit_tpu.pipeline import CullSettings, Pipeline, PipelineConfig
-    from orbit_tpu.raster import RasterConfig
-    from orbit_tpu.scenes import BENCH_CAMERAS, bistro_scene
-    from orbit_tpu.shade import ibl as ibl_mod
+    from bench import build
 
-    W, H = 1920, 1080
-    store, sb = bistro_scene()
-    assets, ameta = store.to_device()
-    scene, smeta = sb.to_device()
-    env = ibl_mod.build_environment(
-        proc.gradient_envmap(64, 32), cube_res=64, irr_res=16,
-        spec_mips=4, spec_samples=32, brdf_res=32, brdf_samples=32,
-    )
-    cam = BENCH_CAMERAS["bistro"]
-    view = make_perspective_view(
-        eye=cam["eye"], target=cam["target"], aspect=W / H,
-        fovy=np.radians(60.0),
-    )
-    cfg = PipelineConfig(
-        width=W, height=H,
-        raster=RasterConfig(backend="pallas", pair_capacity=12288),
-        cull=CullSettings(), instance_capacity=1 << 12,
-        late_pair_capacity=1 << 13,
-    )
-    pipe = Pipeline(
-        cfg, ameta, smeta, store.h["mesh_lod_count"], smeta.entity_mesh_host
+    b = build()
+    pipe, smeta = b["pipe"], b["smeta"]
+    assets, scene, view, env = (
+        b["assets"], b["scene"], b["view"], b["env"],
     )
     frame = jax.jit(
         lambda a, s, v, e, st: pipe.frame(a, s, v, e, st, smeta.num_lights)

@@ -56,7 +56,7 @@ def main():
 
     def upto(stage):
         def fn(assets, scene, view, state):
-            depth, vis, gb, _, _, _ = pipe.cull_and_raster(
+            depth, vis, gb, _, _, _, _ = pipe.cull_and_raster(
                 assets, scene, view, state
             )
             if stage == "raster":
