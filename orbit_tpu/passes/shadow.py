@@ -54,6 +54,16 @@ class ShadowSettings:
     vsm_blur_taps: int = 7  # prefilter width in texels (odd)
     vsm_bleed: float = 0.35  # light-bleed reduction clamp
     vsm_min_variance: float = 1e-6
+    # LOD floor from the cascade's own texel size: a cascade of world
+    # radius r has texels 2r/resolution wide, so geometry below the LOD
+    # the MAIN camera would use at the distance where ITS pixels are
+    # that big is invisible to the shadow map — select at least that
+    # LOD for casters (reference cascades inherit the mesh LOD the
+    # draw-gen pass picked, draw_gen.rs; here the floor makes the
+    # depth-only render pay only for detail the map can resolve).
+    # texel_scale > 1 coarsens further (e.g. ~2-3 with the VSM blur,
+    # whose 7-texel kernel swallows sub-kernel detail); 0 disables.
+    lod_texel_scale: float = 1.0
 
 
 @jax.tree_util.register_dataclass
@@ -65,9 +75,10 @@ class ShadowMaps:
     resolution: int = field(metadata=dict(static=True), default=1024)
     overflow: jax.Array = None  # [] bool — any cascade's instance/pair
     #   capacity overflowed (geometry silently dropped otherwise)
-    # VSM moments (filter="vsm"): [C*S*S, 2] prefiltered (E[d], E[d^2])
-    # rows, d = 1 - reverse-Z depth, flattened so one tap is ONE row
-    # gather (rows cost the same as scalars on TPU)
+    # VSM moments (filter="vsm"): [C*S*S, 8] prefiltered (E[d], E[d^2])
+    # quad rows — the edge-clamped bilinear footprint m00|m10|m01|m11 of
+    # each texel packed into one row, so a full bilinear moment sample
+    # is ONE row gather (rows cost the same as scalars on TPU)
     moments: jax.Array = None
 
 
@@ -179,6 +190,9 @@ def render_shadow_cascades(
     use_alpha: bool = False,
     draw_capacity: int = 0,
     alpha_mode_mask: int = 0,
+    lod_base: float = 4.0,
+    lod_step: float = 1.5,
+    view_height: int = 0,
 ) -> ShadowMaps:
     """Depth-only render per cascade through the standard cull+raster path
     (the reference reuses its meshlet pipeline identically,
@@ -194,6 +208,18 @@ def render_shadow_cascades(
     for view, radius in cascade_views(
         camera_view, fovy, aspect, light_dir, settings
     ):
+        # LOD floor from this cascade's texel size (see ShadowSettings)
+        min_lod = 0
+        if settings.lod_texel_scale > 0 and view_height > 0:
+            texel_w = 2.0 * radius / S
+            px_per_m = 2.0 * jnp.tan(fovy * 0.5) / view_height
+            d_eq = settings.lod_texel_scale * texel_w / px_per_m
+            lf = jnp.log2(
+                jnp.maximum(d_eq, 1e-6) / lod_base
+            ) / jnp.log2(jnp.float32(lod_step))
+            min_lod = jnp.clip(
+                jnp.maximum(lf + 1.0, 0.0).astype(jnp.int32), 0, 7
+            )
         draw_e, lod_idx, _ = cull_entities(
             assets, scene, num_entities,
             cull_view=view.view,
@@ -201,6 +227,9 @@ def render_shadow_cascades(
             num_planes=view.num_cull_planes,
             occlusion_pass=PASS_SINGLE,
             is_ortho=True,
+            lod_base=lod_base,
+            lod_step=lod_step,
+            min_lod=min_lod,
         )
         ie, im, il, iv, ovf_e = expand_instances(
             assets, draw_e, lod_idx, scene.entity_mesh, instance_capacity
@@ -266,7 +295,11 @@ def compute_vsm_moments(depth, taps: int):
     This is the TPU-native half of shadow filtering: the blur is a
     regular stencil over the whole cascade (VPU-friendly, no gathers);
     the per-pixel resolve then needs ONE moment sample instead of the
-    PCSS tap cloud. Returns [C*S*S, 2] rows (one gather per tap).
+    PCSS tap cloud. Returns [C*S*S, 8] rows packing the full bilinear
+    footprint (m00|m10|m01|m11, edge-clamped, 2 f32 each) so one row
+    gather feeds the whole bilinear blend — 4 separate 2-wide tap
+    gathers here cost ~46 ms/frame at 1080p; the 4x-duplicated table
+    trades ~100 MB of HBM for one ~12 ms gather.
     """
     C, S, _ = depth.shape
     d = 1.0 - depth
@@ -287,7 +320,18 @@ def compute_vsm_moments(depth, taps: int):
         return s * (1.0 / taps)
 
     x = blur_axis(blur_axis(x, 1), 2)
-    return x.reshape(C * S * S, 2)
+
+    def shift_x(v):  # v[..., x+1, :] with edge clamp
+        return jnp.concatenate([v[:, :, 1:], v[:, :, -1:]], axis=2)
+
+    def shift_y(v):
+        return jnp.concatenate([v[:, 1:], v[:, -1:]], axis=1)
+
+    m10 = shift_x(x)
+    packed = jnp.concatenate(
+        [x, m10, shift_y(x), shift_y(m10)], axis=-1
+    )  # [C, S, S, 8]
+    return packed.reshape(C * S * S, 8)
 
 
 def sample_shadow_vsm(
@@ -311,16 +355,13 @@ def sample_shadow_vsm(
     y = jnp.clip(v * res - 0.5, 0.0, res - 1.0)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, res - 1)
-    y1 = jnp.minimum(y0 + 1, res - 1)
     fx = (x - x0)[:, None]
     fy = (y - y0)[:, None]
     base = cascade * (res * res)
-    m = shadows.moments
-    m00 = m[base + y0 * res + x0]
-    m10 = m[base + y0 * res + x1]
-    m01 = m[base + y1 * res + x0]
-    m11 = m[base + y1 * res + x1]
+    # ONE row gather: the packed table carries the full edge-clamped
+    # bilinear footprint per texel (see compute_vsm_moments)
+    q = shadows.moments[base + y0 * res + x0]  # [N, 8]
+    m00, m10, m01, m11 = q[:, 0:2], q[:, 2:4], q[:, 4:6], q[:, 6:8]
     mom = (m00 * (1 - fx) + m10 * fx) * (1 - fy) + (
         m01 * (1 - fx) + m11 * fx
     ) * fy  # [N, 2]
@@ -481,10 +522,12 @@ def shadow_factor(
     bias (forward.frag:424-445). Returns [N] lit factor in [0,1]."""
     cascade, any_inside = select_cascade(shadows, gbuf_world_pos)
 
-    from orbit_tpu.utils import gather1 as _g1
-
+    C = shadows.matrices.shape[0]
+    onehot = (
+        cascade[:, None] == jnp.arange(C, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)
     n_dot_l = jnp.sum(normal * light_dir[None, :], axis=-1)
-    texel_world = _g1(shadows.world_sizes, cascade) / shadows.resolution
+    texel_world = (onehot @ shadows.world_sizes) / shadows.resolution
     normal_off = (
         texel_world
         * settings.normal_bias_scale
@@ -500,10 +543,14 @@ def shadow_factor(
     )
     pos = gbuf_world_pos + normal_off + oriented[:, None] * light_dir[None, :]
 
-    from orbit_tpu.utils import gather1
-
+    # transform the biased position by ALL cascade matrices at once (one
+    # [N,4]x[4,C*4] MXU matmul) and one-hot select the chosen cascade's
+    # clip — materializing a per-pixel [N,4,4] matrix gather + batched
+    # matvec here cost ~30 ms/frame at 1080p (two of the frame's top-10
+    # ops); this form is ~1 ms
     ph = jnp.concatenate([pos, jnp.ones_like(pos[:, :1])], -1)
-    clip = jnp.einsum("nab,nb->na", gather1(shadows.matrices, cascade), ph)
+    clips_all = jnp.einsum("cab,nb->nca", shadows.matrices, ph)  # [N,C,4]
+    clip = jnp.einsum("nc,nca->na", onehot, clips_all)
     if settings.filter == "vsm":
         lit = sample_shadow_vsm(shadows, cascade, clip, settings)
     else:

@@ -438,6 +438,9 @@ class Pipeline:
                         use_alpha=self.use_alpha,
                         draw_capacity=cfg.shadow_draw_capacity,
                         alpha_mode_mask=self.opaque_alpha_mask,
+                        lod_base=cfg.cull.lod_base,
+                        lod_step=cfg.cull.lod_step,
+                        view_height=cfg.height,
                     )
                     overflow["shadow"] = (
                         overflow.get("shadow", False) | sset.overflow
@@ -644,6 +647,9 @@ class Pipeline:
                         use_alpha=self.use_alpha,
                         draw_capacity=cfg.shadow_draw_capacity,
                         alpha_mode_mask=self.opaque_alpha_mask,
+                        lod_base=cfg.cull.lod_base,
+                        lod_step=cfg.cull.lod_step,
+                        view_height=cfg.height,
                     )
                 for sset in shadow_sets.values():
                     overflow["shadow"] = (

@@ -160,6 +160,26 @@ def eval_gbuffer_channels(sel_f, sel_s, xs, ys):
     return jnp.concatenate(rows, axis=0)
 
 
+def eval_uv(sel_uv, sel_s, xs, ys):
+    """Interpolated (u, v) only — the alpha-test fast path of
+    eval_gbuffer_channels (same expression tree term for term, so the
+    two produce bit-identical uv and therefore identical discards).
+
+    sel_uv: [6, NP] winner corner uv rows in order
+    (u0, v0, u1, v1, u2, v2); sel_s: [12, NP] winner setup coefficients.
+    Returns (u [1, NP], v [1, NP])."""
+    x = xs.reshape(1, -1)
+    y = ys.reshape(1, -1)
+    e0 = sel_s[0:1] * x + sel_s[1:2] * y + sel_s[2:3]
+    e1 = sel_s[3:4] * x + sel_s[4:5] * y + sel_s[5:6]
+    e2 = sel_s[6:7] * x + sel_s[7:8] * y + sel_s[8:9]
+    s_val = e0 + e1 + e2
+    inv_s = 1.0 / jnp.where(jnp.abs(s_val) < 1e-24, 1.0, s_val)
+    num = sel_uv[0:2] * e0 + sel_uv[2:4] * e1 + sel_uv[4:6] * e2
+    att = num * inv_s
+    return att[0:1], att[1:2]
+
+
 ALPHA_MASK_RES = 64  # == assets.types.ALPHA_MASK_RES
 
 
@@ -316,11 +336,20 @@ def raster_meshlet_depth_alpha(
         else jnp.round(attrs_m[CA_MASK_SLOT, 0]).astype(jnp.int32)
     )
     # winner uv via the same perspective-correct interpolant as the
-    # G-buffer path (eval_gbuffer_channels) so the discard is identical
-    sel_f = attrs_m[:, best_tri]
+    # G-buffer path (eval_uv == eval_gbuffer_channels' uv term for term)
+    # so the discard is identical
+    uv_rows = jnp.concatenate(
+        [
+            attrs_m[0:2],
+            attrs_m[CA_CH : CA_CH + 2],
+            attrs_m[2 * CA_CH : 2 * CA_CH + 2],
+        ],
+        axis=0,
+    )
+    sel_uv = uv_rows[:, best_tri]
     sel_s = setup_m[best_tri].T
-    channels = eval_gbuffer_channels(sel_f, sel_s, xs, ys)
-    ui, vi = alpha_mask_texel_index(channels[GB_U], channels[GB_V])
+    u, v = eval_uv(sel_uv, sel_s, xs, ys)
+    ui, vi = alpha_mask_texel_index(u[0], v[0])
     s = alpha_masks[jnp.maximum(ms, 0) * ALPHA_MASK_RES + vi, ui]
     win = win & ((ms < 0) | (s > 0.0))
 

@@ -422,40 +422,50 @@ def _depth_alpha_kernel(
 
         @pl.when(active & (won_ref[0, 0] == 1))
         def _(j=j, r=r, s=s, vis_base=vis_base, mslot=mslot):
-            flat = jax.lax.broadcasted_iota(jnp.int32, (1, tpx), 1)
-            col = (flat % tile_w).astype(jnp.float32)
-            row = (flat // tile_w).astype(jnp.float32)
-            xs = tx * tile_w + col + 0.5
-            ys = ty * tile_h + row + 0.5
-
-            attrs_m = attrs_refs[j][0]  # [CA_ROWS, 64]
-            bt = bt_s[...]
-            oh = (
-                jax.lax.broadcasted_iota(jnp.int32, (64, tpx), 0)
-                == jnp.broadcast_to(bt, (64, tpx))
-            ).astype(jnp.float32)
-            sel_f = jax.lax.dot_general(
-                attrs_m, oh, (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            sel_s = jax.lax.dot_general(
-                s, oh, (((0,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            channels = eval_gbuffer_channels(sel_f, sel_s, xs, ys)
-
+            # OPAQUE meshlets (the bulk of any cascade) commit straight
+            # from the raster-phase scratch — no attribute selection, no
+            # uv interpolation, no mask matmuls. Only MASKED pairs pay
+            # for the alpha evaluation below.
             @pl.when(mslot >= 0)
             def _():
                 from orbit_tpu.raster.kernel_common import (
                     ALPHA_MASK_RES,
-                    GB_U,
-                    GB_V,
+                    CA_CH,
                     alpha_mask_texel_index,
+                    eval_uv,
                 )
 
+                flat = jax.lax.broadcasted_iota(jnp.int32, (1, tpx), 1)
+                col = (flat % tile_w).astype(jnp.float32)
+                row = (flat // tile_w).astype(jnp.float32)
+                xs = tx * tile_w + col + 0.5
+                ys = ty * tile_h + row + 0.5
+
+                attrs_m = attrs_refs[j][0]  # [CA_ROWS, 64]
+                bt = bt_s[...]
+                oh = (
+                    jax.lax.broadcasted_iota(jnp.int32, (64, tpx), 0)
+                    == jnp.broadcast_to(bt, (64, tpx))
+                ).astype(jnp.float32)
+                uv_rows = jnp.concatenate(
+                    [
+                        attrs_m[0:2],
+                        attrs_m[CA_CH : CA_CH + 2],
+                        attrs_m[2 * CA_CH : 2 * CA_CH + 2],
+                    ],
+                    axis=0,
+                )  # [6, 64]
+                sel_uv = jax.lax.dot_general(
+                    uv_rows, oh, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                sel_s = jax.lax.dot_general(
+                    s, oh, (((0,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                u, v = eval_uv(sel_uv, sel_s, xs, ys)
+
                 R = ALPHA_MASK_RES
-                u = channels[GB_U : GB_U + 1]
-                v = channels[GB_V : GB_V + 1]
                 ui, vi = alpha_mask_texel_index(u, v, R)
                 mblk = mask_ref[pl.ds(mslot * R, R), :]
                 iota_r = jax.lax.broadcasted_iota(jnp.int32, (R, tpx), 0)
