@@ -82,12 +82,18 @@ def build(W=1920, H=1080, rbackend=None):
         shadows=ShadowSettings(
             resolution=1024, cascade_count=4, max_distance=60.0,
             filter="vsm",
+            # VSM's 7-texel prefilter swallows detail below ~2 texels,
+            # so casters can drop one more LOD than the texel floor
+            lod_texel_scale=2.0,
+            # worst-case fly-through pairs per cascade: 31k/15k/24k/44k
+            pair_capacities=(49152, 32768, 32768, 49152),
         ),
         shadow_raster=RasterConfig(
             backend=rbackend, tile_h=16, tile_w=128,
-            pair_capacity=98304,
+            pair_capacity=49152,
         ),
         shadow_draw_capacity=32768,
+        shadow_instance_capacity=49152,
         clusters=ClusterSettings(tile_light_cap=32),
         bloom=BloomSettings(),
     )

@@ -1,12 +1,16 @@
 """glTF 2.0 scene loader (reference: src/gltf_loader.rs:513-676).
 
 Supports .gltf (JSON + external/embedded buffers) and .glb containers:
-meshes (POSITION / NORMAL / TEXCOORD_0 / TANGENT, indexed or not),
-pbrMetallicRoughness materials with all five texture slots, sRGB
-detection by usage (gltf_loader.rs:542-551), and recursive node->entity
-flattening with baked parent transforms (gltf_loader.rs:643-675).
-Images decode via PIL (PNG/JPEG); DDS is not needed on TPU (textures are
-re-baked into the mip atlas anyway).
+meshes (POSITION / NORMAL / TEXCOORD_0 / TANGENT, indexed or not,
+interleaved or tightly packed, normalized integer attributes, sparse
+accessors), pbrMetallicRoughness materials with all five texture slots,
+sRGB detection by usage (gltf_loader.rs:542-551), and recursive
+node->entity flattening with baked parent transforms
+(gltf_loader.rs:643-675). Images decode via PIL (PNG/JPEG) or the
+vectorized DDS/BCn decoder (assets/dds.py; the reference uploads BCn
+blocks raw, gltf_loader.rs:24-216). Extensions: MSFT_texture_dds,
+KHR_materials_emissive_strength, KHR_lights_punctual (directional +
+point lights become scene lights).
 """
 
 from __future__ import annotations
@@ -78,26 +82,55 @@ def _resolve_buffers(doc, base_dir: Path, glb_bin: bytes) -> list:
     return out
 
 
+def _read_view(doc, buffers, view_idx, byte_off, dtype, count, ncomp):
+    """Read [count, ncomp] of dtype from a buffer view, honoring
+    byteStride (interleaved vertex buffers) without a Python loop."""
+    view = doc["bufferViews"][view_idx]
+    itemsize = np.dtype(dtype).itemsize * ncomp
+    stride = view.get("byteStride", itemsize) or itemsize
+    base = view.get("byteOffset", 0) + byte_off
+    raw = buffers[view["buffer"]]
+    if stride == itemsize:
+        return np.frombuffer(
+            raw, dtype=dtype, count=count * ncomp, offset=base
+        ).reshape(count, ncomp)
+    b = np.frombuffer(raw, np.uint8)
+    win = np.lib.stride_tricks.as_strided(
+        b[base:], shape=(count, itemsize), strides=(stride, 1)
+    )
+    return np.ascontiguousarray(win).view(dtype).reshape(count, ncomp)
+
+
 def _read_accessor(doc, buffers, idx) -> np.ndarray:
+    """Accessor -> [count, ncomp] array. Handles interleaved views,
+    normalized integer attributes, accessors WITHOUT a bufferView
+    (spec: all zeros) and SPARSE accessors (base + scattered overrides
+    — gltf_loader.rs reads these via the gltf crate's dense views)."""
     acc = doc["accessors"][idx]
-    view = doc["bufferViews"][acc["bufferView"]]
     dtype = _COMPONENT_DTYPES[acc["componentType"]]
     ncomp = _TYPE_COUNTS[acc["type"]]
     count = acc["count"]
-    itemsize = np.dtype(dtype).itemsize * ncomp
-    stride = view.get("byteStride", itemsize)
-    base = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
-    raw = buffers[view["buffer"]]
-    if stride == itemsize:
-        arr = np.frombuffer(
-            raw, dtype=dtype, count=count * ncomp, offset=base
-        ).reshape(count, ncomp)
+    if "bufferView" in acc:
+        arr = _read_view(
+            doc, buffers, acc["bufferView"], acc.get("byteOffset", 0),
+            dtype, count, ncomp,
+        )
     else:
         arr = np.zeros((count, ncomp), dtype)
-        for i in range(count):
-            arr[i] = np.frombuffer(
-                raw, dtype=dtype, count=ncomp, offset=base + i * stride
-            )
+    sp = acc.get("sparse")
+    if sp:
+        n = sp["count"]
+        sidx = _read_view(
+            doc, buffers, sp["indices"]["bufferView"],
+            sp["indices"].get("byteOffset", 0),
+            _COMPONENT_DTYPES[sp["indices"]["componentType"]], n, 1,
+        ).reshape(-1).astype(np.int64)
+        sval = _read_view(
+            doc, buffers, sp["values"]["bufferView"],
+            sp["values"].get("byteOffset", 0), dtype, n, ncomp,
+        )
+        arr = arr.copy()
+        arr[sidx] = sval
     if acc.get("normalized"):
         info = np.iinfo(dtype)
         arr = arr.astype(np.float32) / info.max
@@ -105,8 +138,6 @@ def _read_accessor(doc, buffers, idx) -> np.ndarray:
 
 
 def _decode_image(doc, buffers, idx, base_dir: Path) -> np.ndarray:
-    from PIL import Image
-
     img = doc["images"][idx]
     if "uri" in img:
         uri = img["uri"]
@@ -118,6 +149,15 @@ def _decode_image(doc, buffers, idx, base_dir: Path) -> np.ndarray:
         view = doc["bufferViews"][img["bufferView"]]
         off = view.get("byteOffset", 0)
         blob = buffers[view["buffer"]][off : off + view["byteLength"]]
+    from orbit_tpu.assets import dds as dds_mod
+
+    if dds_mod.is_dds(blob):
+        # BCn decode to RGBA8; the atlas re-bakes mips (the reference
+        # uploads the compressed blocks directly, gltf_loader.rs:119)
+        rgba, _srgb = dds_mod.decode_dds(bytes(blob))
+        return rgba
+    from PIL import Image
+
     return np.asarray(Image.open(io.BytesIO(blob)).convert("RGBA"))
 
 
@@ -140,6 +180,15 @@ def _node_matrix(node) -> np.ndarray:
     m[:3, :3] = r * s[None, :]
     m[:3, 3] = t
     return m
+
+
+def _tex_source(tex) -> int:
+    """Image source of a texture, honoring MSFT_texture_dds (the DDS
+    source override the reference consumes via its dds path)."""
+    ext = tex.get("extensions", {}).get("MSFT_texture_dds")
+    if ext and "source" in ext:
+        return ext["source"]
+    return tex["source"]
 
 
 _ALPHA_MODES = {
@@ -180,11 +229,11 @@ def load_gltf(
         ]:
             if key is not None:
                 tex = doc["textures"][key["index"]]
-                bucket.add(tex["source"])
+                bucket.add(_tex_source(tex))
 
     tex_layer: Dict[int, int] = {}
     for t_idx, tex in enumerate(doc.get("textures", [])):
-        src = tex["source"]
+        src = _tex_source(tex)
         if src in tex_layer:
             continue
         img = _decode_image(doc, buffers, src, path.parent)
@@ -193,17 +242,29 @@ def load_gltf(
     def layer_of(tex_info) -> int:
         if tex_info is None:
             return -1
-        return tex_layer.get(doc["textures"][tex_info["index"]]["source"], -1)
+        return tex_layer.get(
+            _tex_source(doc["textures"][tex_info["index"]]), -1
+        )
 
     mat_ids = []
     for mat in doc.get("materials", []):
         pbr = mat.get("pbrMetallicRoughness", {})
+        # KHR_materials_emissive_strength scales the emissive factor
+        # (the reference's gltf crate exposes the same product)
+        estr = (
+            mat.get("extensions", {})
+            .get("KHR_materials_emissive_strength", {})
+            .get("emissiveStrength", 1.0)
+        )
+        emissive = tuple(
+            estr * e for e in mat.get("emissiveFactor", [0, 0, 0])
+        )
         mat_ids.append(
             store.add_material(
                 base_color=tuple(pbr.get("baseColorFactor", [1, 1, 1, 1])),
                 metallic=pbr.get("metallicFactor", 1.0),
                 roughness=pbr.get("roughnessFactor", 1.0),
-                emissive=tuple(mat.get("emissiveFactor", [0, 0, 0])),
+                emissive=emissive,
                 base_color_tex=layer_of(pbr.get("baseColorTexture")),
                 normal_tex=layer_of(mat.get("normalTexture")),
                 metallic_roughness_tex=layer_of(
@@ -277,6 +338,37 @@ def load_gltf(
     scene_idx = doc.get("scene", 0)
     roots = doc.get("scenes", [{}])[scene_idx].get("nodes", [])
 
+    # KHR_lights_punctual -> scene lights (node transform gives the
+    # position; a glTF light shines down the node's -Z axis)
+    from orbit_tpu.scene import LIGHT_DIRECTIONAL, LIGHT_POINT
+
+    punctual = (
+        doc.get("extensions", {})
+        .get("KHR_lights_punctual", {})
+        .get("lights", [])
+    )
+    n_lights = 0
+
+    def add_punctual(light_idx, world: np.ndarray):
+        nonlocal n_lights
+        li = punctual[light_idx]
+        color = tuple(li.get("color", [1, 1, 1]))
+        intensity = li.get("intensity", 1.0)
+        fwd = -world[:3, 2]
+        if li.get("type") == "directional":
+            scene.add_light(
+                LIGHT_DIRECTIONAL, direction=tuple(-fwd), color=color,
+                intensity=intensity,
+            )
+            n_lights += 1
+        elif li.get("type") in ("point", "spot"):
+            scene.add_light(
+                LIGHT_POINT, position=tuple(world[:3, 3]), color=color,
+                intensity=intensity,
+                outer_radius=li.get("range", 8.0),
+            )
+            n_lights += 1
+
     def visit(node_idx, parent: np.ndarray):
         nonlocal n_entities
         node = doc["nodes"][node_idx]
@@ -285,6 +377,9 @@ def load_gltf(
             for mid in mesh_prims[node["mesh"]]:
                 scene.add_entity_matrix(mid, world)
                 n_entities += 1
+        lref = node.get("extensions", {}).get("KHR_lights_punctual")
+        if lref is not None:
+            add_punctual(lref["light"], world)
         for child in node.get("children", []):
             visit(child, world)
 
@@ -296,4 +391,5 @@ def load_gltf(
         materials=len(mat_ids),
         textures=len(tex_layer),
         entities=n_entities,
+        lights=n_lights,
     )

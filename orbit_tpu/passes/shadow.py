@@ -64,6 +64,11 @@ class ShadowSettings:
     # texel_scale > 1 coarsens further (e.g. ~2-3 with the VSM blur,
     # whose 7-texel kernel swallows sub-kernel detail); 0 disables.
     lod_texel_scale: float = 1.0
+    # optional per-cascade pair-capacity overrides (None entries inherit
+    # the raster config): near cascades see a fraction of the far
+    # cascades' meshlets, and every unused pair slot still costs kernel
+    # grid steps, so snug per-cascade capacities cut dead raster time
+    pair_capacities: Optional[tuple] = None
 
 
 @jax.tree_util.register_dataclass
@@ -205,9 +210,18 @@ def render_shadow_cascades(
     cfg = raster_cfg or RasterConfig()
     maps, mats, sizes = [], [], []
     overflow = jnp.zeros((), bool)
-    for view, radius in cascade_views(
-        camera_view, fovy, aspect, light_dir, settings
+    for ci, (view, radius) in enumerate(
+        cascade_views(camera_view, fovy, aspect, light_dir, settings)
     ):
+        ccfg = cfg
+        if (
+            settings.pair_capacities is not None
+            and ci < len(settings.pair_capacities)
+            and settings.pair_capacities[ci]
+        ):
+            from dataclasses import replace as _rep
+
+            ccfg = _rep(cfg, pair_capacity=settings.pair_capacities[ci])
         # LOD floor from this cascade's texel size (see ShadowSettings)
         min_lod = 0
         if settings.lod_texel_scale > 0 and view_height > 0:
@@ -264,10 +278,10 @@ def render_shadow_cascades(
             from orbit_tpu.raster import rasterize_depth_alpha
 
             depth, _, bins = rasterize_depth_alpha(
-                geom, S, S, cfg, assets.alpha_masks, assets.tri_ac
+                geom, S, S, ccfg, assets.alpha_masks, assets.tri_ac
             )
         else:
-            depth, _, bins = rasterize(geom, S, S, cfg)
+            depth, _, bins = rasterize(geom, S, S, ccfg)
         overflow = overflow | bins.overflow
         maps.append(depth)
         mats.append(view.view_proj)

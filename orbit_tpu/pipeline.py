@@ -120,6 +120,11 @@ class PipelineConfig:
     late_draw_capacity: int = 0
     # drawn-instance compaction for the shadow cascade renders (0 = off)
     shadow_draw_capacity: int = 0
+    # expansion capacity for the cascade renders (0 = inherit the main
+    # view's instance_capacity); cascades see far fewer meshlet
+    # instances thanks to the texel LOD floor, and the expansion
+    # machinery's cost is O(capacity) per cascade
+    shadow_instance_capacity: int = 0
     render_mode: int = 0
     exposure: float = 1.0
     shadows: Optional["shadow_mod.ShadowSettings"] = None
@@ -434,7 +439,10 @@ class Pipeline:
                         assets, scene, self.scene_meta.num_entities, view,
                         fovy, aspect, scene.light_dir[li], cfg.shadows,
                         raster_cfg=cfg.shadow_raster or cfg.raster,
-                        instance_capacity=cfg.instance_capacity,
+                        instance_capacity=(
+                            cfg.shadow_instance_capacity
+                            or cfg.instance_capacity
+                        ),
                         use_alpha=self.use_alpha,
                         draw_capacity=cfg.shadow_draw_capacity,
                         alpha_mode_mask=self.opaque_alpha_mask,
@@ -643,7 +651,10 @@ class Pipeline:
                         assets, scene, self.scene_meta.num_entities, view,
                         fovy, aspect, scene.light_dir[li], cfg.shadows,
                         raster_cfg=cfg.shadow_raster or cfg.raster,
-                        instance_capacity=cfg.instance_capacity,
+                        instance_capacity=(
+                            cfg.shadow_instance_capacity
+                            or cfg.instance_capacity
+                        ),
                         use_alpha=self.use_alpha,
                         draw_capacity=cfg.shadow_draw_capacity,
                         alpha_mode_mask=self.opaque_alpha_mask,

@@ -165,3 +165,87 @@ def test_load_and_render_gltf(tmp_path, glb):
     cols = (vis != 0).any(axis=0)
     runs = np.diff(np.flatnonzero(np.diff(cols.astype(int)) != 0))
     assert cols.sum() > 10
+
+
+# ---------------------------------------------------------------- fixture
+
+
+def test_fixture_glb_features():
+    """Load the committed on-disk fixture (tests/fixtures/feature_test.glb,
+    generated once by tools/make_fixture_glb.py): interleaved + normalized
+    + sparse accessors, embedded PNG + BC1 DDS (MSFT_texture_dds),
+    KHR_materials_emissive_strength, KHR_lights_punctual, node hierarchy
+    with a shared instanced mesh. Reference: gltf_loader.rs:513-676."""
+    import os
+
+    from orbit_tpu.scene import LIGHT_POINT
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "feature_test.glb")
+    store = AssetStore()
+    sb = SceneBuilder(entity_capacity=64, light_capacity=8)
+    info = load_gltf(path, store, sb)
+    assert info == dict(
+        meshes=2, materials=2, textures=2, entities=3, lights=2
+    )
+
+    # sparse accessor raised 4 interior grid verts to y = 0.35; the rest
+    # of the plane stays at y = 0 (mesh 0 = the 9x9 grid, deduped to 81
+    # verts at the head of the store's vertex heap)
+    ys = store.h["positions"][:81, 1]
+    assert np.isclose(ys.max(), 0.35, atol=1e-6) and (ys > 0.2).sum() == 4
+    assert np.isclose(ys.min(), 0.0, atol=1e-6)
+
+    # normalized u16 uvs span [0, 1]
+    uv = store.h["uvs"][:81]
+    assert uv.min() >= 0.0 and np.isclose(uv.max(), 1.0, atol=1e-4)
+
+    # emissive strength (4.0) scales the emissive factor [0.1, 0.2, 0.3]
+    em = store.h["mat_emissive"][1]
+    assert np.allclose(em, [0.4, 0.8, 1.2], atol=1e-5)
+
+    # material 1 is MASKED with the DDS texture
+    from orbit_tpu.assets.types import ALPHA_MODE_MASKED
+
+    assert store.h["mat_alpha_mode"][1] == ALPHA_MODE_MASKED
+
+    # punctual lights: one directional (node-rotated), one point at the
+    # node's world position (root scale 1.5 applies)
+    kinds = [l["kind"] for l in sb.lights]
+    assert LIGHT_DIRECTIONAL in kinds and LIGHT_POINT in kinds
+    pt = sb.lights[kinds.index(LIGHT_POINT)]
+    assert np.isclose(pt["position"][1], 3.0, atol=1e-5)  # 2.0 * 1.5
+    assert np.isclose(pt["outer_radius"], 7.5, atol=1e-6)
+
+
+def test_dds_bc_decode_exact():
+    """BC1/BC3/BC5 decode: flat 4x4 blocks round-trip exactly; BC3 alpha
+    and BC5 two-channel paths decode their palettes correctly."""
+    import struct as _st
+
+    from orbit_tpu.assets import dds as dds_mod
+
+    # BC1 flat blocks (fixture encoder) are lossless at 565 precision
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[:4, :, :] = (255, 0, 0)
+    img[4:, :, :] = (0, 255, 0)
+    import sys as _sys, os as _os
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), "..", "tools"))
+    from make_fixture_glb import bc1_encode_flat, make_dds_bc1
+
+    rgba, srgb = dds_mod.decode_dds(make_dds_bc1(img))
+    assert rgba.shape == (8, 8, 4)
+    assert np.array_equal(rgba[..., :3], img)
+    assert (rgba[..., 3] == 255).all()
+
+    # BC4 palette: a0 > a1 -> 8-interp mode; indices 0..7 in one block
+    a0, a1 = 200, 40
+    bits = sum((i % 8) << (3 * i) for i in range(16))
+    blk = _st.pack("<BB", a0, a1) + int(bits).to_bytes(6, "little")
+    ch = dds_mod._bc4_channel(np.frombuffer(blk, np.uint8).reshape(1, 8))
+    expect = [a0, a1] + [((7 - k) * a0 + k * a1 + 3) // 7 for k in range(1, 7)]
+    assert list(ch[0, :8]) == expect
+    # a0 <= a1 -> 6-interp mode with literal 0 / 255 at indices 6, 7
+    blk2 = _st.pack("<BB", 40, 200) + int(bits).to_bytes(6, "little")
+    ch2 = dds_mod._bc4_channel(np.frombuffer(blk2, np.uint8).reshape(1, 8))
+    assert ch2[0, 6] == 0 and ch2[0, 7] == 255
