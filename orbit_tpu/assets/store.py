@@ -318,6 +318,8 @@ class AssetStore:
         d["ctex_data"] = np.ascontiguousarray(h["ctex_data"]).view(
             np.float32
         ).reshape(h["ctex_data"].shape[0], -1, 4)
+        # flat 2-D form on device (see AssetArrays docstring)
+        d["tri_ac"] = h["tri_ac"].reshape(-1, h["tri_ac"].shape[-1])
         arrays = AssetArrays(**{k: put(v) for k, v in d.items()})
         meta = AssetMeta(
             num_vertices=self.num_vertices,

@@ -137,11 +137,16 @@ class AssetArrays:
       tri_pos         [M, 576] f32 corner positions (model space), flat
                       row-major [tri 64, corner 3, xyz 3] — stored flat so
                       the per-frame row gather needs no relayout copy
-      tri_ac          [M, CA_ROWS, 64] f32 corner-attr blocks consumed by
-                      the rasterizer IN-KERNEL (kernel_common CA_* layout:
-                      rows c*9+ch = corner (u,v,nx,ny,nz,tx,ty,tz,tw),
-                      rows CA_BASE.. = material constants broadcast over
-                      lanes; lanes = triangles)
+      tri_ac          [M * CA_ROWS, 64] f32 corner-attr blocks consumed
+                      by the rasterizer IN-KERNEL (kernel_common CA_*
+                      layout: per meshlet, rows c*9+ch = corner
+                      (u,v,nx,ny,nz,tx,ty,tz,tw), rows CA_BASE.. =
+                      material constants broadcast over lanes; lanes =
+                      triangles). Stored 2-D — host side keeps a 3-D
+                      [M, CA_ROWS, 64] view, but the DEVICE array is
+                      flat so the Pallas kernels' per-pair block fetch
+                      and XLA's parameter layout agree (the 3-D form
+                      cost a full ~550 MB relayout copy EVERY frame)
     Meshes (reference GpuMeshInfo, assets/mod.rs:18-28):
       mesh_sphere     [Me, 4] f32
       mesh_aabb       [Me, 2, 3] f32

@@ -441,7 +441,7 @@ def _depth_alpha_kernel(
                 xs = tx * tile_w + col + 0.5
                 ys = ty * tile_h + row + 0.5
 
-                attrs_m = attrs_refs[j][0]  # [CA_ROWS, 64]
+                attrs_m = attrs_refs[j][...]  # [CA_ROWS, 64]
                 bt = bt_s[...]
                 oh = (
                     jax.lax.broadcasted_iota(jnp.int32, (64, tpx), 0)
@@ -567,10 +567,11 @@ def rasterize_pallas_depth_alpha(
         )
 
     def _mid_spec(shape, j):
+        # tri_ac is flat [M * CA_ROWS, 64]: block row pm == meshlet pm
         return pl.BlockSpec(
-            (1,) + shape,
+            shape,
             functools.partial(
-                lambda p, meta, tq, ps, pm, ro, j: (pm[p * pack + j], 0, 0),
+                lambda p, meta, tq, ps, pm, ro, j: (pm[p * pack + j], 0),
                 j=j,
             ),
         )
@@ -605,7 +606,13 @@ def rasterize_pallas_depth_alpha(
             _slice_bins(bins, s), chunk, inst_mask_slot=inst_mask_slot
         )
         pslot = jnp.maximum(bins.pair_slot[s], 0)
-        pmid = inst_mid[pslot]
+        # OPAQUE pairs never read their corner-attr block (the kernel's
+        # masked branch is the only consumer): point them all at block 0
+        # so runs of opaque pairs keep revisiting the same block and the
+        # 12 KB/pair attrs DMA disappears for the bulk of the stream
+        pmid = jnp.where(
+            inst_mask_slot[pslot] >= 0, inst_mid[pslot], 0
+        )
         base_io = 5 + 2 * pack + 1
         depth_t, vis_t = pl.pallas_call(
             functools.partial(
@@ -773,7 +780,7 @@ def _gbuffer_kernel(
             # triangle's 12 setup coefficients. A one-hot select is
             # EXACT in f32 (products v*1 and v*0, one nonzero addend),
             # so it matches the XLA twin's gather bit-for-bit.
-            attrs_m = attrs_refs[j][0]  # [CA_ROWS, 64] tri_ac block
+            attrs_m = attrs_refs[j][...]  # [CA_ROWS, 64] tri_ac block
             bt = bt_s[...]  # stale ids in skipped chunks; masked by winm
             oh = (
                 jax.lax.broadcasted_iota(jnp.int32, (64, tpx), 0)
@@ -994,10 +1001,11 @@ def rasterize_pallas_gbuffer(
         )
 
     def _mid_spec(shape, j):
+        # tri_ac is flat [M * CA_ROWS, 64]: block row pm == meshlet pm
         return pl.BlockSpec(
-            (1,) + shape,
+            shape,
             functools.partial(
-                lambda p, meta, tq, ps, pm, ro, j: (pm[p * pack + j], 0, 0),
+                lambda p, meta, tq, ps, pm, ro, j: (pm[p * pack + j], 0),
                 j=j,
             ),
         )

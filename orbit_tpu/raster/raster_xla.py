@@ -120,8 +120,10 @@ def rasterize_xla_depth_alpha(
     n_tiles = ntx * nty
     tpx = tile_h * tile_w
     setup_flat = setup.reshape(setup.shape[0], -1)
-    attrs_flat = attrs.reshape(attrs.shape[0], -1)
-    ac_rows = attrs.shape[1]
+    from orbit_tpu.raster.kernel_common import CA_ROWS as _ACR
+
+    ac_rows = _ACR
+    attrs_flat = attrs.reshape(-1, _ACR * attrs.shape[-1])
 
     if init is not None:
         pad_h, pad_w = nty * tile_h - height, ntx * tile_w - width
@@ -214,8 +216,10 @@ def rasterize_xla_gbuffer(
     n_tiles_pad = -(-n_tiles // GROUP) * GROUP
     tpx = tile_h * tile_w
     setup_flat = setup.reshape(setup.shape[0], -1)
-    attrs_flat = attrs.reshape(attrs.shape[0], -1)
-    ac_rows = attrs.shape[1]
+    from orbit_tpu.raster.kernel_common import CA_ROWS as _ACR
+
+    ac_rows = _ACR
+    attrs_flat = attrs.reshape(-1, _ACR * attrs.shape[-1])
     if inst_mid is None:
         inst_mid = jnp.zeros((setup.shape[0],), jnp.int32)
 
