@@ -132,7 +132,13 @@ class PipelineConfig:
     clusters: Optional["ClusterSettings_t"] = None
     ssao: Optional["SsaoSettings_t"] = None
     bloom: Optional["BloomSettings_t"] = None
-    texture_filter: str = "nearest"  # nearest | bilinear | trilinear
+    # sampler parity (reference SamplerKind, device.rs:1291-1312): the 7
+    # hardware samplers map to filter x wrap combinations here, plus the
+    # ShadowComparison sampler (= passes/shadow VSM/PCSS filtering) and
+    # the ReduceMin sampler (= cull/hiz min-mip atlas)
+    texture_filter: str = "nearest"  # nearest | bilinear | trilinear | aniso
+    texture_wrap: str = "repeat"  # repeat | clamp | mirror
+    max_aniso: int = 4  # probe budget for texture_filter="aniso"
     env_filter: str = "nearest"  # nearest | nearest_mip | trilinear
     supersample: int = 1  # SSAA factor (the TPU MSAA: k*k shading samples)
     # in-frame debug overlays (bounding spheres / frustum / cascades /
@@ -581,6 +587,7 @@ class Pipeline:
             and env is not None
             and cfg.supersample == 1
             and cfg.texture_filter == "nearest"
+            and cfg.texture_wrap == "repeat"
             and cfg.env_filter == "nearest"
         )
         if use_fused:
@@ -624,6 +631,7 @@ class Pipeline:
             texture_filter=cfg.texture_filter, ssao=ssao_flat,
             row_offset_px=row0_px,
             full_size=(H, W) if band is not None else None,
+            texture_wrap=cfg.texture_wrap, max_aniso=cfg.max_aniso,
         )
 
         shadow_fn = None

@@ -76,15 +76,18 @@ def _unpack_ctex_words(words):
     return jnp.stack(chans, axis=-1) * (1.0 / 255.0)
 
 
-def _ctex_addr(layer, t4, tex_size, k, uvx, uvy):
+def _ctex_addr(layer, t4, tex_size, k, uvx, uvy, wrap: str = "repeat"):
+    from orbit_tpu.shade.texture import apply_wrap
+
     off, size = _mip_offset_closed_form(tex_size, k)
-    mask = size - 1  # power-of-two wrap
-    x = jnp.bitwise_and(uvx, mask)
-    y = jnp.bitwise_and(uvy, mask)
+    x = apply_wrap(uvx, size, wrap)
+    y = apply_wrap(uvy, size, wrap)
     return layer * t4 + off + y * size + x
 
 
-def sample_ctex_bilinear_mip(ctex_flat, layer, uv, k, tex_size, t4):
+def sample_ctex_bilinear_mip(
+    ctex_flat, layer, uv, k, tex_size, t4, wrap: str = "repeat"
+):
     """One bilinear tap of the combined texture at mip k (4 gathers).
 
     ctex_flat: [Lc*T4, 4] bitcast-f32 texels. Returns [N,16] f32 in [0,1]
@@ -97,7 +100,9 @@ def sample_ctex_bilinear_mip(ctex_flat, layer, uv, k, tex_size, t4):
     f = t - i0
 
     def fetch(dx, dy):
-        addr = _ctex_addr(layer, t4, tex_size, k, i0[..., 0] + dx, i0[..., 1] + dy)
+        addr = _ctex_addr(
+            layer, t4, tex_size, k, i0[..., 0] + dx, i0[..., 1] + dy, wrap
+        )
         return _unpack_ctex_words(ctex_flat[addr])
 
     fx = f[..., 0:1]
@@ -107,7 +112,9 @@ def sample_ctex_bilinear_mip(ctex_flat, layer, uv, k, tex_size, t4):
     return top * (1 - fy) + bot * fy
 
 
-def sample_ctex(assets, layer, uv, lod, mode: str = "bilinear"):
+def sample_ctex(
+    assets, layer, uv, lod, mode: str = "bilinear", wrap: str = "repeat"
+):
     """Combined-texture sample. mode: nearest | bilinear | trilinear."""
     tex_size = size_from_atlas(assets.ctex_data.shape[1])
     t4 = assets.ctex_data.shape[1]
@@ -120,20 +127,81 @@ def sample_ctex(assets, layer, uv, lod, mode: str = "bilinear"):
         k = jnp.round(lod).astype(jnp.int32)
         _, size = _mip_offset_closed_form(tex_size, k)
         t = (uv * size[..., None].astype(jnp.float32)).astype(jnp.int32)
-        addr = _ctex_addr(safe_layer, t4, tex_size, k, t[..., 0], t[..., 1])
+        addr = _ctex_addr(
+            safe_layer, t4, tex_size, k, t[..., 0], t[..., 1], wrap
+        )
         return _unpack_ctex_words(ctex_flat[addr])
     if mode == "bilinear":
         k = jnp.round(lod).astype(jnp.int32)
         return sample_ctex_bilinear_mip(
-            ctex_flat, safe_layer, uv, k, tex_size, t4
+            ctex_flat, safe_layer, uv, k, tex_size, t4, wrap
         )
     # trilinear
     k0 = jnp.floor(lod).astype(jnp.int32)
     k1 = jnp.minimum(k0 + 1, n - 1)
     f = (lod - k0.astype(jnp.float32))[..., None]
-    c0 = sample_ctex_bilinear_mip(ctex_flat, safe_layer, uv, k0, tex_size, t4)
-    c1 = sample_ctex_bilinear_mip(ctex_flat, safe_layer, uv, k1, tex_size, t4)
+    c0 = sample_ctex_bilinear_mip(
+        ctex_flat, safe_layer, uv, k0, tex_size, t4, wrap
+    )
+    c1 = sample_ctex_bilinear_mip(
+        ctex_flat, safe_layer, uv, k1, tex_size, t4, wrap
+    )
     return c0 * (1 - f) + c1 * f
+
+
+def sample_ctex_aniso(
+    assets,
+    layer,
+    uv,
+    duv_dx,
+    duv_dy,
+    max_aniso: int = 4,
+    wrap: str = "repeat",
+):
+    """Anisotropic combined-texture sample (the reference's ANISOTROPIC
+    sampler, device.rs:1291-1312, max anisotropy 16).
+
+    Hardware-style footprint filtering: the screen-space uv footprint's
+    major axis is walked with `max_aniso` bilinear probes whose shared
+    mip level comes from the MINOR axis, so grazing surfaces keep detail
+    that isotropic LOD (max-axis) would blur away. Static probe count
+    (XLA static shapes); probes collapse onto one point for isotropic
+    footprints, degrading gracefully to trilinear.
+    """
+    tex_size = size_from_atlas(assets.ctex_data.shape[1])
+    t4 = assets.ctex_data.shape[1]
+    ctex_flat = assets.ctex_data.reshape(-1, 4)
+    n = num_mips(tex_size)
+    safe_layer = jnp.maximum(layer, 0)
+
+    fx2 = jnp.sum((duv_dx * tex_size) ** 2, axis=-1)
+    fy2 = jnp.sum((duv_dy * tex_size) ** 2, axis=-1)
+    major_is_x = fx2 >= fy2
+    rho_maj2 = jnp.maximum(fx2, fy2)
+    rho_min2 = jnp.minimum(fx2, fy2)
+    # clamp anisotropy ratio to the probe budget: effective minor
+    # footprint >= major/max_aniso (standard hardware clamp)
+    rho_min2 = jnp.maximum(rho_min2, rho_maj2 / (max_aniso * max_aniso))
+    lod = 0.5 * jnp.log2(jnp.maximum(rho_min2, 1e-12))
+    lod = jnp.clip(lod, 0.0, n - 1.0)
+
+    axis = jnp.where(major_is_x[..., None], duv_dx, duv_dy)  # [N,2] uv units
+    k0 = jnp.floor(lod).astype(jnp.int32)
+    k1 = jnp.minimum(k0 + 1, n - 1)
+    f = (lod - k0.astype(jnp.float32))[..., None]
+
+    acc = 0.0
+    for i in range(max_aniso):
+        t = (i + 0.5) / max_aniso - 0.5  # [-0.5, 0.5) along the major axis
+        uv_i = uv + axis * t
+        c0 = sample_ctex_bilinear_mip(
+            ctex_flat, safe_layer, uv_i, k0, tex_size, t4, wrap
+        )
+        c1 = sample_ctex_bilinear_mip(
+            ctex_flat, safe_layer, uv_i, k1, tex_size, t4, wrap
+        )
+        acc = acc + (c0 * (1 - f) + c1 * f)
+    return acc / max_aniso
 
 
 def surface_from_gbuffer(
@@ -146,6 +214,8 @@ def surface_from_gbuffer(
     ssao: Optional[jax.Array] = None,
     row_offset_px=0,
     full_size=None,  # (full_H, full_W) when the inputs are a band
+    texture_wrap: str = "repeat",
+    max_aniso: int = 4,
 ):
     """Returns (Surface, GBuffer) — GBuffer fields populated for the
     downstream consumers (shadows, clusters, debug modes).
@@ -179,8 +249,16 @@ def surface_from_gbuffer(
 
     # the single memory-indirect step: one combined-texture tap
     tex_size = size_from_atlas(assets.ctex_data.shape[1])
-    lod = lod_from_derivatives(duv_dx, duv_dy, tex_size)
-    tex = sample_ctex(assets, layer, uv, lod, texture_filter)
+    if texture_filter == "aniso":
+        tex = sample_ctex_aniso(
+            assets, layer, uv, duv_dx, duv_dy,
+            max_aniso=max_aniso, wrap=texture_wrap,
+        )
+    else:
+        lod = lod_from_derivatives(duv_dx, duv_dy, tex_size)
+        tex = sample_ctex(
+            assets, layer, uv, lod, texture_filter, wrap=texture_wrap
+        )
     has = (layer >= 0)[:, None]
     t_base = jnp.concatenate(
         [srgb_to_linear(tex[:, 0:3]), tex[:, 3:4]], axis=-1

@@ -32,6 +32,24 @@ def size_from_atlas(t4: int) -> int:
         s *= 2
 
 
+def apply_wrap(i, size, mode: str = "repeat"):
+    """Integer texel-coordinate wrap. size is a (per-pixel) power of two.
+
+    Mirrors the reference's sampler address modes (device.rs:1291-1312
+    exposes REPEAT / CLAMP_TO_EDGE / MIRRORED_REPEAT samplers); the TPU
+    analog is pure integer math on the gather address.
+    """
+    if mode == "repeat":
+        return jnp.bitwise_and(i, size - 1)
+    if mode == "clamp":
+        return jnp.clip(i, 0, size - 1)
+    if mode == "mirror":
+        # triangle wave with period 2*size (power-of-two fast path)
+        m = jnp.bitwise_and(i, 2 * size - 1)
+        return jnp.where(m >= size, 2 * size - 1 - m, m)
+    raise ValueError(f"unknown wrap mode {mode!r}")
+
+
 def _wrap(i, size):
     # repeat wrap; size is a per-pixel power-of-two array
     return jnp.bitwise_and(i, size - 1)
