@@ -9,9 +9,10 @@ decode to RGBA8 — done here fully vectorized in numpy (one pass of
 integer ops over all blocks; no per-block Python loops).
 
 Supported: DXT1/2/3/4/5 fourCC and DX10 BC1-BC5 (UNORM/sRGB/typeless),
-plus uncompressed R8G8B8A8/B8G8R8A8/B8G8R8X8. BC6H/BC7's 8-mode
-bit-packed partitions are out of scope (raise with a clear message).
-Only the top mip is decoded — the atlas bakes its own mip chain.
+plus uncompressed R8G8B8A8/B8G8R8A8/B8G8R8X8. The 8-mode bit-packed
+BC6H/BC7 formats decode in assets/bc67.py (BC6H returns float32 HDR
+RGB; everything else RGBA8). Only the top mip is decoded — the atlas
+bakes its own mip chain.
 """
 
 from __future__ import annotations
@@ -206,11 +207,14 @@ def decode_dds(blob: bytes):
                 blob, np.uint8, count=h * w * 4, offset=data_off
             ).reshape(h, w, 4)
             return img[..., [2, 1, 0, 3]].copy(), _DXGI_BGRA8[dxgi]
-        if dxgi in _DXGI_BC67:
-            raise NotImplementedError(
-                "BC6H/BC7 DDS decode is not supported (8-mode bit-packed"
-                " partitions); re-export as BC1/BC3 or PNG"
-            )
+        if dxgi in (97, 98, 99):  # BC7 typeless/unorm/srgb
+            from orbit_tpu.assets.bc67 import decode_bc7
+
+            return decode_bc7(blob[data_off:], h, w), dxgi == 99
+        if dxgi in (94, 95, 96):  # BC6H typeless/UF16/SF16 (HDR -> f32)
+            from orbit_tpu.assets.bc67 import decode_bc6h
+
+            return decode_bc6h(blob[data_off:], h, w, dxgi == 96), False
         raise NotImplementedError(f"DDS DXGI format {dxgi}")
     _FOURCC = {
         b"DXT1": "bc1", b"DXT2": "bc2", b"DXT3": "bc2",

@@ -155,6 +155,16 @@ def _decode_image(doc, buffers, idx, base_dir: Path) -> np.ndarray:
         # BCn decode to RGBA8; the atlas re-bakes mips (the reference
         # uploads the compressed blocks directly, gltf_loader.rs:119)
         rgba, _srgb = dds_mod.decode_dds(bytes(blob))
+        if rgba.dtype != np.uint8:
+            # BC6H (HDR) bound as a material texture: clamp to LDR u8;
+            # HDR DDS content is meant for the envmap path
+            # (ibl.build_environment consumes the float image directly)
+            a = np.clip(rgba, 0.0, 1.0)
+            if a.shape[-1] == 3:
+                a = np.concatenate(
+                    [a, np.ones_like(a[..., :1])], axis=-1
+                )
+            rgba = np.round(a * 255.0).astype(np.uint8)
         return rgba
     from PIL import Image
 

@@ -135,7 +135,11 @@ class PipelineConfig:
     # sampler parity (reference SamplerKind, device.rs:1291-1312): the 7
     # hardware samplers map to filter x wrap combinations here, plus the
     # ShadowComparison sampler (= passes/shadow VSM/PCSS filtering) and
-    # the ReduceMin sampler (= cull/hiz min-mip atlas)
+    # the ReduceMin sampler (= cull/hiz min-mip atlas).
+    # KNOWN LIMITATION vs the reference: these are GLOBAL knobs, while
+    # the reference binds a SamplerKind per glTF texture
+    # (gltf_loader.rs:560-568) — a scene mixing clamp and repeat
+    # textures renders every texture with the one configured wrap.
     texture_filter: str = "nearest"  # nearest | bilinear | trilinear | aniso
     texture_wrap: str = "repeat"  # repeat | clamp | mirror
     max_aniso: int = 4  # probe budget for texture_filter="aniso"

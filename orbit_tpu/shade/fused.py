@@ -417,8 +417,9 @@ def _ctex_addr_math(gbrow, tex_size, t4):
     safe_layer = jnp.maximum(layer, 0)
     _, size = _mip_offset_closed_form(tex_size, k)
     fsize = size.astype(jnp.float32)
-    tx_ = (gbrow(GB_U) * fsize).astype(jnp.int32)
-    ty_ = (gbrow(GB_V) * fsize).astype(jnp.int32)
+    # floor (not truncate) — must match gbuffer.sample_ctex nearest
+    tx_ = jnp.floor(gbrow(GB_U) * fsize).astype(jnp.int32)
+    ty_ = jnp.floor(gbrow(GB_V) * fsize).astype(jnp.int32)
     return _ctex_addr(safe_layer, t4, tex_size, k, tx_, ty_)
 
 

@@ -126,7 +126,11 @@ def sample_ctex(
     if mode == "nearest":
         k = jnp.round(lod).astype(jnp.int32)
         _, size = _mip_offset_closed_form(tex_size, k)
-        t = (uv * size[..., None].astype(jnp.float32)).astype(jnp.int32)
+        # floor, not truncate-toward-zero: for uv in (-1/size, 0) the
+        # texel is -1, which repeat-wraps to size-1 (trunc gave texel 0)
+        t = jnp.floor(uv * size[..., None].astype(jnp.float32)).astype(
+            jnp.int32
+        )
         addr = _ctex_addr(
             safe_layer, t4, tex_size, k, t[..., 0], t[..., 1], wrap
         )
@@ -158,15 +162,18 @@ def sample_ctex_aniso(
     max_aniso: int = 4,
     wrap: str = "repeat",
 ):
-    """Anisotropic combined-texture sample (the reference's ANISOTROPIC
-    sampler, device.rs:1291-1312, max anisotropy 16).
+    """Anisotropic combined-texture sample. In the reference, anisotropic
+    filtering (max anisotropy 16) is a property enabled on the Linear/
+    Nearest filter samplers (device.rs:1291-1312), not a separate
+    SamplerKind; this is the TPU analog of sampling through one of those.
 
     Hardware-style footprint filtering: the screen-space uv footprint's
     major axis is walked with `max_aniso` bilinear probes whose shared
     mip level comes from the MINOR axis, so grazing surfaces keep detail
     that isotropic LOD (max-axis) would blur away. Static probe count
-    (XLA static shapes); probes collapse onto one point for isotropic
-    footprints, degrading gracefully to trilinear.
+    (XLA static shapes); the probe span is scaled by the covered ratio
+    (1 - minor/major), so isotropic footprints collapse the probes onto
+    one point and the filter degrades gracefully to trilinear.
     """
     tex_size = size_from_atlas(assets.ctex_data.shape[1])
     t4 = assets.ctex_data.shape[1]
@@ -186,6 +193,12 @@ def sample_ctex_aniso(
     lod = jnp.clip(lod, 0.0, n - 1.0)
 
     axis = jnp.where(major_is_x[..., None], duv_dx, duv_dy)  # [N,2] uv units
+    # scale the probe span by the UNCOVERED fraction of the major axis:
+    # each probe's bilinear+mip tap already covers a minor-sized disc, so
+    # only (1 - minor/major) of the axis needs walking — isotropic
+    # footprints collapse the probes onto one point (plain trilinear)
+    covered = jnp.sqrt(rho_min2 / jnp.maximum(rho_maj2, 1e-12))
+    axis = axis * jnp.clip(1.0 - covered, 0.0, 1.0)[..., None]
     k0 = jnp.floor(lod).astype(jnp.int32)
     k1 = jnp.minimum(k0 + 1, n - 1)
     f = (lod - k0.astype(jnp.float32))[..., None]

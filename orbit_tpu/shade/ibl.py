@@ -287,6 +287,35 @@ def spec_mip_offsets(size: int, mips: int) -> np.ndarray:
     return np.array(offs + [acc], np.int32)  # last entry = total
 
 
+def _coerce_equirect(equirect):
+    """Accept a float image array, a filesystem path, or raw file bytes
+    (.hdr RGBE or .dds) and return an [H, W, 3] float equirect image."""
+    import os
+
+    if isinstance(equirect, (str, os.PathLike)):
+        from pathlib import Path
+
+        equirect = Path(equirect).read_bytes()
+    if isinstance(equirect, (bytes, bytearray)):
+        blob = bytes(equirect)
+        from orbit_tpu.assets import dds as dds_mod
+        from orbit_tpu.assets import hdr as hdr_mod
+
+        if hdr_mod.is_hdr(blob):
+            return hdr_mod.decode_hdr(blob)
+        if dds_mod.is_dds(blob):
+            img, srgb = dds_mod.decode_dds(blob)
+            if img.dtype == np.uint8:  # LDR fallback (BC1-7)
+                from orbit_tpu.math.color import srgb_to_linear
+
+                img = np.asarray(
+                    srgb_to_linear(jnp.asarray(img[..., :3]) / 255.0)
+                )
+            return img[..., :3]
+        raise ValueError("envmap bytes are neither .hdr nor .dds")
+    return equirect
+
+
 def build_environment(
     equirect,
     cube_res: int = 128,
@@ -296,6 +325,10 @@ def build_environment(
     brdf_res: int = 128,
     brdf_samples: int = 512,
 ) -> EnvironmentMap:
+    """equirect: [H, W, 3] float array, OR a path / raw bytes of an
+    envmap file — Radiance .hdr (RGBE; gltf_loader.rs:372-385 +
+    --envmap-path, main.rs:26-34) or a BC6H/BCn .dds."""
+    equirect = _coerce_equirect(equirect)
     cube = equirect_to_cube(equirect, cube_res)
     irr = irradiance_convolve(cube, irr_res)
 

@@ -35,9 +35,12 @@ def size_from_atlas(t4: int) -> int:
 def apply_wrap(i, size, mode: str = "repeat"):
     """Integer texel-coordinate wrap. size is a (per-pixel) power of two.
 
-    Mirrors the reference's sampler address modes (device.rs:1291-1312
-    exposes REPEAT / CLAMP_TO_EDGE / MIRRORED_REPEAT samplers); the TPU
-    analog is pure integer math on the gather address.
+    The reference's samplers expose REPEAT and CLAMP_TO_EDGE address
+    modes (device.rs:1291-1312; glTF MirroredRepeat is coerced to Repeat
+    at load, gltf_loader.rs:564). "mirror" here is an extension beyond
+    the reference — true MIRRORED_REPEAT integer math — provided because
+    glTF itself allows it. The TPU analog of all of them is pure integer
+    math on the gather address.
     """
     if mode == "repeat":
         return jnp.bitwise_and(i, size - 1)
