@@ -85,8 +85,12 @@ def build(W=1920, H=1080, rbackend=None):
             # VSM's 7-texel prefilter swallows detail below ~2 texels,
             # so casters can drop one more LOD than the texel floor
             lod_texel_scale=2.0,
-            # worst-case fly-through pairs per cascade: 31k/15k/24k/44k
-            pair_capacities=(49152, 32768, 32768, 49152),
+            # worst-case fly-through pairs per cascade, measured:
+            # opaque 13k/10k/17k/31k, masked 21k/6k/7k/13k (near
+            # cascades are foliage-heavy; the atlas raster runs masked
+            # casters through their own alpha kernel) + ~25% headroom
+            pair_capacities=(16384, 12288, 20480, 38912),
+            masked_pair_capacities=(26624, 8192, 9216, 16384),
         ),
         shadow_raster=RasterConfig(
             backend=rbackend, tile_h=16, tile_w=128,

@@ -69,6 +69,13 @@ class ShadowSettings:
     # cascades' meshlets, and every unused pair slot still costs kernel
     # grid steps, so snug per-cascade capacities cut dead raster time
     pair_capacities: Optional[tuple] = None
+    # per-cascade pair caps for the MASKED (alpha-tested) stream: the
+    # cascade atlas raster runs opaque pairs through the cheap
+    # immediate-commit depth kernel and only masked pairs through the
+    # deferred-commit alpha kernel (raster.rasterize_depth_views).
+    # None = pair_capacities // 4 (masked geometry is typically foliage,
+    # a fraction of the caster set)
+    masked_pair_capacities: Optional[tuple] = None
 
 
 @jax.tree_util.register_dataclass
@@ -80,6 +87,9 @@ class ShadowMaps:
     resolution: int = field(metadata=dict(static=True), default=1024)
     overflow: jax.Array = None  # [] bool — any cascade's instance/pair
     #   capacity overflowed (geometry silently dropped otherwise)
+    # named sub-flags (which ceiling): expand / compact / pairs_opaque /
+    # pairs_masked — populated by render_shadow_cascades
+    overflow_detail: dict = None
     # VSM moments (filter="vsm"): [C*S*S, 8] prefiltered (E[d], E[d^2])
     # quad rows — the edge-clamped bilinear footprint m00|m10|m01|m11 of
     # each texel packed into one row, so a full bilinear moment sample
@@ -199,29 +209,26 @@ def render_shadow_cascades(
     lod_step: float = 1.5,
     view_height: int = 0,
 ) -> ShadowMaps:
-    """Depth-only render per cascade through the standard cull+raster path
-    (the reference reuses its meshlet pipeline identically,
-    shadow_renderer.rs:341-430).
+    """Depth-only render of ALL cascades as ONE stacked atlas raster
+    through the standard cull machinery (the reference renders its
+    cascades through one shared cull+draw path into per-cascade targets,
+    shadow_renderer.rs:341-430; here the targets stack into one atlas so
+    the raster's fixed costs are paid once — raster.rasterize_depth_views).
 
-    use_alpha: scenes with MASKED materials render cascades through the
-    G-buffer rasterizer so cutouts punch holes in the shadow maps
-    (reference: shadow.frag:23-38 alpha-cutoff discard)."""
+    use_alpha: scenes with MASKED materials route masked casters through
+    the alpha-test depth kernel so cutouts punch holes in the shadow
+    maps (reference: shadow.frag:23-38 alpha-cutoff discard); opaque
+    casters take the cheap immediate-commit kernel."""
+    from orbit_tpu.raster.api import rasterize_depth_views
+
     S = settings.resolution
     cfg = raster_cfg or RasterConfig()
-    maps, mats, sizes = [], [], []
-    overflow = jnp.zeros((), bool)
+    geoms, mats, sizes = [], [], []
+    ovf_expand = jnp.zeros((), bool)
+    ovf_compact = jnp.zeros((), bool)
     for ci, (view, radius) in enumerate(
         cascade_views(camera_view, fovy, aspect, light_dir, settings)
     ):
-        ccfg = cfg
-        if (
-            settings.pair_capacities is not None
-            and ci < len(settings.pair_capacities)
-            and settings.pair_capacities[ci]
-        ):
-            from dataclasses import replace as _rep
-
-            ccfg = _rep(cfg, pair_capacity=settings.pair_capacities[ci])
         # LOD floor from this cascade's texel size (see ShadowSettings)
         min_lod = 0
         if settings.lod_texel_scale > 0 and view_height > 0:
@@ -248,7 +255,7 @@ def render_shadow_cascades(
         ie, im, il, iv, ovf_e = expand_instances(
             assets, draw_e, lod_idx, scene.entity_mesh, instance_capacity
         )
-        overflow = overflow | ovf_e
+        ovf_expand = ovf_expand | ovf_e
         draw_m, _ = cull_meshlet_instances(
             assets, scene, ie, im, iv,
             cull_view=view.view,
@@ -267,26 +274,29 @@ def render_shadow_cascades(
             ie, im, draw_m, ovf_c = compact_drawn(
                 ie, im, draw_m, draw_capacity
             )
-            overflow = overflow | ovf_c
+            ovf_compact = ovf_compact | ovf_c
         geom = process_geometry(
             assets, im, scene.entity_model[ie], view.view_proj, S, S,
             inst_valid=draw_m,
         )
-        if use_alpha:
-            # depth+alpha-only raster: cutouts punch shadow holes without
-            # paying for attribute interpolation or G-buffer traffic
-            from orbit_tpu.raster import rasterize_depth_alpha
-
-            depth, _, bins = rasterize_depth_alpha(
-                geom, S, S, ccfg, assets.alpha_masks, assets.tri_ac
-            )
-        else:
-            depth, _, bins = rasterize(geom, S, S, ccfg)
-        overflow = overflow | bins.overflow
-        maps.append(depth)
+        geoms.append(geom)
         mats.append(view.view_proj)
         sizes.append(radius * 2.0)
-    depth_all = jnp.stack(maps)
+
+    depth_all, ovf_o, ovf_m = rasterize_depth_views(
+        geoms, S, cfg,
+        alpha_masks=assets.alpha_masks if use_alpha else None,
+        tri_ac=assets.tri_ac if use_alpha else None,
+        pair_capacities=settings.pair_capacities,
+        masked_pair_capacities=settings.masked_pair_capacities,
+    )
+    detail = {
+        "expand": ovf_expand,
+        "compact": ovf_compact,
+        "pairs_opaque": ovf_o,
+        "pairs_masked": ovf_m,
+    }
+    overflow = ovf_expand | ovf_compact | ovf_o | ovf_m
     moments = (
         compute_vsm_moments(depth_all, settings.vsm_blur_taps)
         if settings.filter == "vsm"
@@ -298,6 +308,7 @@ def render_shadow_cascades(
         world_sizes=jnp.stack(sizes),
         resolution=S,
         overflow=overflow,
+        overflow_detail=detail,
         moments=moments,
     )
 

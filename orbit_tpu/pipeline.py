@@ -395,8 +395,15 @@ class Pipeline:
         backend = cfg.raster.resolve_backend()
         depth_img = tiles_to_image(depth_t, H, W, th, tw)
 
-        # geometric normal image (world space) for the effect planes
-        need_normals = cfg.shadows is not None or cfg.ssao is not None
+        use_vsm = (
+            cfg.shadows is not None and cfg.shadows.filter == "vsm"
+        )
+        # geometric normal image (world space) for the XLA effect
+        # planes. The fused VSM path computes normals/worldpos IN the
+        # kernels, so only SSAO and PCSS lit planes still need these.
+        need_normals = cfg.ssao is not None or (
+            cfg.shadows is not None and not use_vsm
+        )
         if need_normals:
             from orbit_tpu.math.transforms import normalize as _nrm
 
@@ -406,9 +413,15 @@ class Pipeline:
             )  # [3, H, W]
             n_world = _nrm(nrm_img.reshape(3, -1).T)  # [H*W, 3]
 
-        # --- CSM shadows -> per-pixel lit planes (one per dir light)
+        # --- CSM shadows. VSM: cascade renders + moment prefilter only;
+        # the per-pixel work (cascade select, bias, Chebyshev) moved
+        # INTO the fused kernels (shade/fused._vsm_math), replacing the
+        # XLA lit-plane pipeline that cost ~30 ms/frame at 1080p.
+        # PCSS: legacy lit planes (its tap cloud can't run in-kernel).
         lit_t = None
         shadow_slots = ()
+        vsm_sets = ()
+        vsm_slots = ()
         if cfg.shadows is not None and not view.is_ortho:
             from orbit_tpu.scene import LIGHT_DIRECTIONAL
 
@@ -422,28 +435,30 @@ class Pipeline:
                 if t == LIGHT_DIRECTIONAL
             ]
             if dir_lights:
-                inv_vp = jnp.linalg.inv(view.view_proj)
-                px = (
-                    jnp.arange(W * H, dtype=jnp.int32) % W
-                ).astype(jnp.float32) + 0.5
-                py = (
-                    jnp.arange(W * H, dtype=jnp.int32) // W
-                ).astype(jnp.float32) + 0.5
-                ndc = jnp.stack(
-                    [
-                        px / W * 2.0 - 1.0,
-                        (1.0 - py / H) * 2.0 - 1.0,
-                        depth_img.reshape(-1),
-                        jnp.ones((W * H,), jnp.float32),
-                    ],
-                    axis=-1,
-                )
-                wp = ndc @ inv_vp.T
-                wpos = wp[:, :3] / jnp.where(
-                    jnp.abs(wp[:, 3:4]) < 1e-20, 1.0, wp[:, 3:4]
-                )
-                pixel_xy = jnp.stack([px, py], axis=-1)
+                if not use_vsm:
+                    inv_vp = jnp.linalg.inv(view.view_proj)
+                    px = (
+                        jnp.arange(W * H, dtype=jnp.int32) % W
+                    ).astype(jnp.float32) + 0.5
+                    py = (
+                        jnp.arange(W * H, dtype=jnp.int32) // W
+                    ).astype(jnp.float32) + 0.5
+                    ndc = jnp.stack(
+                        [
+                            px / W * 2.0 - 1.0,
+                            (1.0 - py / H) * 2.0 - 1.0,
+                            depth_img.reshape(-1),
+                            jnp.ones((W * H,), jnp.float32),
+                        ],
+                        axis=-1,
+                    )
+                    wp = ndc @ inv_vp.T
+                    wpos = wp[:, :3] / jnp.where(
+                        jnp.abs(wp[:, 3:4]) < 1e-20, 1.0, wp[:, 3:4]
+                    )
+                    pixel_xy = jnp.stack([px, py], axis=-1)
                 planes = []
+                sets = []
                 for li in dir_lights:
                     sset = shadow_mod.render_shadow_cascades(
                         assets, scene, self.scene_meta.num_entities, view,
@@ -460,9 +475,12 @@ class Pipeline:
                         lod_step=cfg.cull.lod_step,
                         view_height=cfg.height,
                     )
-                    overflow["shadow"] = (
-                        overflow.get("shadow", False) | sset.overflow
-                    )
+                    for k, v in sset.overflow_detail.items():
+                        key = "shadow_" + k
+                        overflow[key] = overflow.get(key, False) | v
+                    if use_vsm:
+                        sets.append(sset)
+                        continue
                     lit = shadow_mod.shadow_factor(
                         sset, wpos, n_world, scene.light_dir[li],
                         scene.light_inner_radius[li], pixel_xy,
@@ -471,8 +489,12 @@ class Pipeline:
                     planes.append(
                         image_to_tiles(lit.reshape(H, W), H, W, th, tw)
                     )
-                lit_t = jnp.stack(planes)
-                shadow_slots = tuple(dir_lights)
+                if use_vsm:
+                    vsm_sets = tuple(sets)
+                    vsm_slots = tuple(dir_lights)
+                else:
+                    lit_t = jnp.stack(planes)
+                    shadow_slots = tuple(dir_lights)
 
         # --- SSAO -> AO plane
         ao_t = None
@@ -509,6 +531,8 @@ class Pipeline:
             backend="xla" if backend == "xla" else "pallas",
             interpret=(backend == "pallas_interpret"),
             lit_t=lit_t, shadow_slots=shadow_slots, ao_t=ao_t,
+            vsm_sets=vsm_sets, vsm_slots=vsm_slots,
+            vsm_settings=cfg.shadows if vsm_slots else None,
             tile_lights=tile_lights, emit_hdr=emit_hdr,
         )
         hdr = None
@@ -675,9 +699,9 @@ class Pipeline:
                         view_height=cfg.height,
                     )
                 for sset in shadow_sets.values():
-                    overflow["shadow"] = (
-                        overflow.get("shadow", False) | sset.overflow
-                    )
+                    for k, v in sset.overflow_detail.items():
+                        key = "shadow_" + k
+                        overflow[key] = overflow.get(key, False) | v
                 shadow_li = dir_lights[0]
                 shadows = shadow_sets[shadow_li]  # mode-1 visualization
                 px = (

@@ -6,7 +6,7 @@ from dataclasses import dataclass
 
 import jax
 
-from orbit_tpu.raster.binning import bin_meshlets
+from orbit_tpu.raster.binning import BinLists, bin_meshlets
 from orbit_tpu.raster.geometry import GeometryBuffers
 from orbit_tpu.raster.raster_pallas import (
     rasterize_pallas,
@@ -130,6 +130,147 @@ def rasterize_depth_alpha(
             pairs_per_step=cfg.pairs_per_step,
         )
     return depth, vis, bins
+
+
+def _merge_view_bins(bins_list, slot_bases, pair_bases, n_tiles_view):
+    """Concatenate per-view BinLists into one atlas stream: tile ids get
+    each view's tile-row base, slots get each view's base into the
+    concatenated setup array, per-tile ranges get the stream offset."""
+    import functools as _ft
+
+    import jax.numpy as jnp
+
+    out = {}
+    for f in ("pair_slot", "pair_tile", "tile_start", "tile_count",
+              "pair_maxz", "pair_qr"):
+        parts = []
+        for v, b in enumerate(bins_list):
+            a = getattr(b, f)
+            if f == "pair_slot":
+                a = jnp.where(a >= 0, a + slot_bases[v], -1)
+            elif f == "pair_tile":
+                a = jnp.where(a >= 0, a + v * n_tiles_view, -1)
+            elif f == "tile_start":
+                a = a + pair_bases[v]
+            parts.append(a)
+        out[f] = jnp.concatenate(parts)
+    overflow = _ft.reduce(
+        lambda x, y: x | y, [b.overflow for b in bins_list]
+    )
+    return BinLists(overflow=overflow, **out)
+
+
+def rasterize_depth_views(
+    geoms,  # list[GeometryBuffers], one per view (same SxS target)
+    size: int,
+    cfg: RasterConfig,
+    alpha_masks=None,
+    tri_ac=None,
+    pair_capacities=None,  # per-view opaque-stream caps
+    masked_pair_capacities=None,  # per-view masked-stream caps (alpha)
+):
+    """Render V same-sized depth views (shadow cascades) as ONE stacked
+    atlas raster — the TPU answer to the reference's shared cascade
+    cull+draw path into per-cascade targets (shadow_renderer.rs:341-430).
+
+    Two levers vs one raster call per view:
+      * fixed per-call cost (grid machinery, dispatch, chunk padding)
+        is paid once for the whole stack, not per cascade;
+      * with alpha masks, OPAQUE pairs (the bulk) run through the plain
+        immediate-commit depth kernel, and only MASKED pairs pay the
+        deferred-commit + mask-test kernel, composited on top. Final
+        depth is identical to the single mixed-stream raster (the
+        winner is the max over fragments, so commit order is free).
+
+    Returns (depth [V, S, S] f32, opaque overflow, masked overflow)."""
+    import jax.numpy as jnp
+
+    from orbit_tpu.raster.binning import bin_meshlets
+    from orbit_tpu.raster.raster_pallas import (
+        rasterize_pallas_depth_alpha as _rp_alpha,
+    )
+    from orbit_tpu.raster.raster_xla import rasterize_xla_depth_alpha
+
+    V = len(geoms)
+    S = size
+    th, tw = cfg.tile_h, cfg.tile_w
+    nrows = -(-S // th)
+    ntc = -(-S // tw) * nrows
+    pack = cfg.pairs_per_step
+    backend = cfg.resolve_backend()
+    caps = pair_capacities or (cfg.pair_capacity,) * V
+    split = alpha_masks is not None
+    mcaps = masked_pair_capacities or (
+        tuple(max(c // 4, pack) for c in caps) if split else None
+    )
+
+    setup_cat = jnp.concatenate([g.setup for g in geoms])
+    slot_bases, b = [], 0
+    for g in geoms:
+        slot_bases.append(b)
+        b += g.setup.shape[0]
+
+    def merged(valid_of, cap_list):
+        bins_v, pair_bases, pb = [], [], 0
+        for v, g in enumerate(geoms):
+            bins_v.append(
+                bin_meshlets(
+                    g.bbox, valid_of(g), S, S, th, tw, cap_list[v],
+                    max_z=g.max_z, group_align=pack,
+                )
+            )
+            pair_bases.append(pb)
+            pb += cap_list[v]
+        return _merge_view_bins(bins_v, slot_bases, pair_bases, ntc)
+
+    obins = merged(
+        lambda g: g.inst_valid & (g.mask_slot < 0) if split
+        else g.inst_valid,
+        caps,
+    )
+    H_atlas = V * nrows * th
+    if backend == "xla":
+        depth, vis = rasterize_xla(
+            setup_cat, obins, H_atlas, S, th, tw, rows_per_view=nrows
+        )
+    else:
+        depth, vis = rasterize_pallas(
+            setup_cat, obins, H_atlas, S, th, tw,
+            interpret=(backend == "pallas_interpret"),
+            pairs_per_step=pack, rows_per_view=nrows,
+        )
+    overflow = obins.overflow
+
+    if split:
+        mbins = merged(
+            lambda g: g.inst_valid & (g.mask_slot >= 0), mcaps
+        )
+        mask_cat = jnp.concatenate([g.mask_slot for g in geoms])
+        mid_cat = jnp.concatenate([g.inst_mid for g in geoms])
+        if backend == "xla":
+            depth, vis = rasterize_xla_depth_alpha(
+                setup_cat, tri_ac, mbins, H_atlas, S, th, tw,
+                alpha_masks, mask_cat, mid_cat,
+                init=(depth, vis), rows_per_view=nrows,
+            )
+        else:
+            depth, vis = _rp_alpha(
+                setup_cat, tri_ac, mbins, H_atlas, S, th, tw,
+                alpha_masks, mask_cat, mid_cat,
+                interpret=(backend == "pallas_interpret"),
+                init=(depth, vis), pairs_per_step=pack,
+                rows_per_view=nrows,
+            )
+        ovf_masked = mbins.overflow
+    else:
+        import jax.numpy as _jnp
+
+        ovf_masked = _jnp.zeros((), bool)
+
+    # atlas rows may carry tile padding per view when S % th != 0
+    view_h = nrows * th
+    depth_views = depth.reshape(V, view_h, S)[:, :S]
+    return depth_views, overflow, ovf_masked
 
 
 def _window(height, cfg, row_window):

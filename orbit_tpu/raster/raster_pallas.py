@@ -41,6 +41,22 @@ _GROUP = 8  # tiles per framebuffer block
 _MAX_PAIRS_PER_CALL = 49152
 
 
+def _chunk_slices(P: int, pack: int):
+    """Split a pair stream into pallas_call chunks: full _MAX-sized
+    chunks plus one remainder (any multiple of `pack`). Each call's
+    scalar-prefetch arrays must fit the 1 MB SMEM budget."""
+    assert P % pack == 0, f"pair capacity {P} not divisible by {pack}"
+    sizes = [_MAX_PAIRS_PER_CALL] * (P // _MAX_PAIRS_PER_CALL)
+    rem = P % _MAX_PAIRS_PER_CALL
+    if rem:
+        sizes.append(rem)
+    out, off = [], 0
+    for s in sizes:
+        out.append(slice(off, off + s))
+        off += s
+    return out
+
+
 def _slice_bins(bins: BinLists, s: slice) -> BinLists:
     """Chunk view of the pair stream (per-tile ranges unused here)."""
     import dataclasses
@@ -91,7 +107,7 @@ def _pair_meta(bins: BinLists, P: int, inst_mask_slot=None):
 
 def _kernel(
     meta_ref, tq_ref, pslot_ref, rowoff_ref, *refs,
-    tile_h, tile_w, ntx, vis_base_offset, pack,
+    tile_h, tile_w, ntx, vis_base_offset, pack, rows_per_view=0,
 ):
     # refs: pack setup blocks, init_d, init_v (aliased), depth, vis, scratch
     setup_refs = refs[:pack]
@@ -136,7 +152,14 @@ def _kernel(
         qr = (tq >> 18) & 15
         q0 = qr // 4
         q1 = qr % 4
-        ty = (tile // ntx + rowoff_ref[0]).astype(jnp.float32)
+        # rows_per_view: atlas raster of several stacked views (shadow
+        # cascades) — edge functionals are in each view's own pixel
+        # space, so ty is the view-LOCAL tile row (exact integer mod:
+        # bit-identical to rendering each view separately)
+        if rows_per_view:
+            ty = ((tile // ntx) % rows_per_view).astype(jnp.float32)
+        else:
+            ty = (tile // ntx + rowoff_ref[0]).astype(jnp.float32)
         tx = (tile % ntx).astype(jnp.float32)
         s = setup_refs[j][0]  # [64, 12] (in-kernel gather by pair slot)
 
@@ -206,6 +229,8 @@ def rasterize_pallas(
     vis_base_offset: int = 0,
     tile_row_offset=0,
     pairs_per_step: int = 1,
+    rows_per_view: int = 0,
+    tiled_io: bool = False,
 ):
     """setup: [I, 64, 12] f32. Returns (depth [H,W] f32, vis [H,W] i32).
 
@@ -213,6 +238,9 @@ def rasterize_pallas(
     pairs_per_step > 1 requires bins built with group_align=pairs_per_step
     (the per-pair setup is pre-gathered into pair order so blocks stream
     sequentially, and each step touches one framebuffer block group).
+    rows_per_view: the target is an atlas of stacked views that many tile
+    rows tall each (shadow-cascade atlas); pair setups are in view-local
+    pixel space. tiled_io: return (depth, vis) in the native tile layout.
     """
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
@@ -243,22 +271,14 @@ def rasterize_pallas(
     if init is None:
         init_d = jnp.zeros((n_tiles_pad, tpx), jnp.float32)
         init_v = jnp.zeros((n_tiles_pad, tpx), jnp.int32)
+    elif tiled_io:
+        init_d, init_v = init
     else:
         init_d = to_tiles(init[0])
         init_v = to_tiles(init[1])
 
     rowoff = jnp.full((1,), tile_row_offset, jnp.int32)
     pack = pairs_per_step
-    assert P % pack == 0, f"pair capacity {P} not divisible by {pack}"
-
-    # the prefetch SMEM budget (1 MB) caps one call at ~64k pairs; larger
-    # capacities run as a chain of calls over stream chunks, each aliased
-    # in-place onto the running framebuffer (raster is order-compositing,
-    # so chunk boundaries — even mid-tile — are transparent)
-    chunk = P if P <= _MAX_PAIRS_PER_CALL else _MAX_PAIRS_PER_CALL
-    assert P % chunk == 0, (
-        f"pair capacity {P} must be a multiple of {chunk} for chaining"
-    )
 
     fb_spec = pl.BlockSpec(
         (_GROUP, tpx),
@@ -280,20 +300,24 @@ def rasterize_pallas(
         )
         for j in range(pack)
     ]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(chunk // pack,),
-        in_specs=setup_specs + [fb_spec, fb_spec],
-        out_specs=[fb_spec, fb_spec],
-        scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
-    )
 
     # the framebuffer inputs are ALIASED to the outputs: raster updates
-    # them in place and untouched tile groups keep their init content
+    # them in place and untouched tile groups keep their init content.
+    # The prefetch SMEM budget (1 MB) caps one call at ~64k pairs; larger
+    # capacities run as a chain of calls over stream chunks, each aliased
+    # in-place onto the running framebuffer (raster is order-compositing,
+    # so chunk boundaries — even mid-tile — are transparent)
     depth_t, vis_t = init_d, init_v
     base_io = 4 + pack  # prefetch args + setup blocks
-    for c in range(P // chunk):
-        s = slice(c * chunk, (c + 1) * chunk)
+    for s in _chunk_slices(P, pack):
+        chunk = s.stop - s.start
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(chunk // pack,),
+            in_specs=setup_specs + [fb_spec, fb_spec],
+            out_specs=[fb_spec, fb_spec],
+            scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
+        )
         # per-chunk metadata: each call's first pair of a tile re-reads
         # the running tile min (the cur_min scratch starts cold per call)
         meta, tq = _pair_meta(_slice_bins(bins, s), chunk)
@@ -306,6 +330,7 @@ def rasterize_pallas(
                 ntx=ntx,
                 vis_base_offset=vis_base_offset,
                 pack=pack,
+                rows_per_view=rows_per_view,
             ),
             grid_spec=grid_spec,
             out_shape=[
@@ -319,12 +344,14 @@ def rasterize_pallas(
             meta, tq, pslot, rowoff,
             *([setup] * pack), depth_t, vis_t,
         )
+    if tiled_io:
+        return depth_t, vis_t
     return from_tiles(depth_t), from_tiles(vis_t)
 
 
 def _depth_alpha_kernel(
     meta_ref, tq_ref, pslot_ref, pmid_ref, rowoff_ref, *refs,
-    tile_h, tile_w, ntx, vis_base_offset, pack,
+    tile_h, tile_w, ntx, vis_base_offset, pack, rows_per_view=0,
 ):
     """Depth-only raster with the winner-level alpha test: the shadow-
     cascade fast path for MASKED materials. Same two-phase structure as
@@ -366,7 +393,10 @@ def _depth_alpha_kernel(
         qr = (tq >> 18) & 15
         q0 = qr // 4
         q1 = qr % 4
-        ty = (tile // ntx + rowoff_ref[0]).astype(jnp.float32)
+        if rows_per_view:  # stacked-view atlas: view-local tile row
+            ty = ((tile // ntx) % rows_per_view).astype(jnp.float32)
+        else:
+            ty = (tile // ntx + rowoff_ref[0]).astype(jnp.float32)
         tx = (tile % ntx).astype(jnp.float32)
         s = setup_refs[j][0]
 
@@ -508,9 +538,12 @@ def rasterize_pallas_depth_alpha(
     vis_base_offset: int = 0,
     tile_row_offset=0,
     pairs_per_step: int = 1,
+    rows_per_view: int = 0,
+    tiled_io: bool = False,
 ):
     """Depth+alpha rasterizer (see _depth_alpha_kernel). Returns
-    (depth [H,W] f32, vis [H,W] i32)."""
+    (depth [H,W] f32, vis [H,W] i32). rows_per_view/tiled_io: see
+    rasterize_pallas."""
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
     n_tiles = ntx * nty
@@ -540,13 +573,14 @@ def rasterize_pallas_depth_alpha(
     if init is None:
         init_d = jnp.zeros((n_tiles_pad, tpx), jnp.float32)
         init_v = jnp.zeros((n_tiles_pad, tpx), jnp.int32)
+    elif tiled_io:
+        init_d, init_v = init
     else:
         init_d = to_tiles(init[0])
         init_v = to_tiles(init[1])
 
     rowoff = jnp.full((1,), tile_row_offset, jnp.int32)
     pack = pairs_per_step
-    assert P % pack == 0, f"pair capacity {P} not divisible by {pack}"
 
     fb_spec = pl.BlockSpec(
         (_GROUP, tpx),
@@ -554,8 +588,6 @@ def rasterize_pallas_depth_alpha(
             (tq[p * pack] & 0x3FFFF) // _GROUP, 0
         ),
     )
-    chunk = P if P <= _MAX_PAIRS_PER_CALL else _MAX_PAIRS_PER_CALL
-    assert P % chunk == 0
 
     def _slot_spec(shape, j):
         return pl.BlockSpec(
@@ -585,23 +617,23 @@ def rasterize_pallas_depth_alpha(
     )
     in_specs += [fb_spec, fb_spec]
     n_lead = 2 * pack + 1
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
-        grid=(chunk // pack,),
-        in_specs=in_specs,
-        out_specs=[fb_spec, fb_spec],
-        scratch_shapes=[
-            pltpu.SMEM((1, 1), jnp.float32),
-            pltpu.SMEM((1, 1), jnp.int32),
-            pltpu.VMEM((1, tpx), jnp.int32),
-            pltpu.VMEM((1, tpx), jnp.float32),
-            pltpu.VMEM((1, tpx), jnp.float32),
-        ],
-    )
 
     depth_t, vis_t = init_d, init_v
-    for c in range(P // chunk):
-        s = slice(c * chunk, (c + 1) * chunk)
+    for s in _chunk_slices(P, pack):
+        chunk = s.stop - s.start
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(chunk // pack,),
+            in_specs=in_specs,
+            out_specs=[fb_spec, fb_spec],
+            scratch_shapes=[
+                pltpu.SMEM((1, 1), jnp.float32),
+                pltpu.SMEM((1, 1), jnp.int32),
+                pltpu.VMEM((1, tpx), jnp.int32),
+                pltpu.VMEM((1, tpx), jnp.float32),
+                pltpu.VMEM((1, tpx), jnp.float32),
+            ],
+        )
         meta, tq = _pair_meta(
             _slice_bins(bins, s), chunk, inst_mask_slot=inst_mask_slot
         )
@@ -622,6 +654,7 @@ def rasterize_pallas_depth_alpha(
                 ntx=ntx,
                 vis_base_offset=vis_base_offset,
                 pack=pack,
+                rows_per_view=rows_per_view,
             ),
             grid_spec=grid_spec,
             out_shape=[
@@ -636,6 +669,8 @@ def rasterize_pallas_depth_alpha(
             *([setup] * pack), *([attrs] * pack), alpha_masks,
             depth_t, vis_t,
         )
+    if tiled_io:
+        return depth_t, vis_t
     return from_tiles(depth_t), from_tiles(vis_t)
 
 

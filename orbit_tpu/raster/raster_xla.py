@@ -24,6 +24,7 @@ from orbit_tpu.raster.kernel_common import (
 def rasterize_xla(
     setup, bins: BinLists, height, width, tile_h, tile_w,
     init=None, vis_base_offset: int = 0, tile_row_offset=0,
+    rows_per_view: int = 0,
 ):
     """setup: [I, 64, 12]; returns (depth [H,W] f32, vis [H,W] i32).
 
@@ -32,6 +33,9 @@ def rasterize_xla(
     share one id space. tile_row_offset (may be traced): this image is a
     band starting at that global tile row — pixel centers are computed in
     global coordinates so band raster is bit-identical to full-screen.
+    rows_per_view: the target is an atlas of stacked views that many
+    tile rows tall each — pixel centers are view-LOCAL (shadow-cascade
+    atlas; mirrors the Pallas kernel exactly).
     """
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
@@ -57,9 +61,12 @@ def rasterize_xla(
     def do_tile(t):
         start = bins.tile_start[t]
         count = bins.tile_count[t]
-        xs, ys = tile_pixel_centers(
-            t // ntx + tile_row_offset, t % ntx, tile_h, tile_w
+        ty = (
+            (t // ntx) % rows_per_view
+            if rows_per_view
+            else t // ntx + tile_row_offset
         )
+        xs, ys = tile_pixel_centers(ty, t % ntx, tile_h, tile_w)
 
         def body(k, carry):
             depth, vis, cur_min = carry
@@ -112,6 +119,7 @@ def rasterize_xla_depth_alpha(
     setup, attrs, bins: BinLists, height, width, tile_h, tile_w,
     alpha_masks, inst_mask_slot, inst_mid,
     init=None, vis_base_offset: int = 0, tile_row_offset=0,
+    rows_per_view: int = 0,
 ):
     """Depth+alpha rasterizer, XLA twin of rasterize_pallas_depth_alpha
     (shadow cascades of MASKED materials). Returns (depth, vis)."""
@@ -143,9 +151,12 @@ def rasterize_xla_depth_alpha(
     def do_tile(t):
         start = bins.tile_start[t]
         count = bins.tile_count[t]
-        xs, ys = tile_pixel_centers(
-            t // ntx + tile_row_offset, t % ntx, tile_h, tile_w
+        ty = (
+            (t // ntx) % rows_per_view
+            if rows_per_view
+            else t // ntx + tile_row_offset
         )
+        xs, ys = tile_pixel_centers(ty, t % ntx, tile_h, tile_w)
 
         def body(k, carry):
             depth, vis, cur_min = carry

@@ -62,6 +62,10 @@ _P_VIEWR = 22  # view[:3,:3] row-major [9]
 _P_SH = 31  # SH9 irradiance [9*3] row-major
 _P_LIGHT = 58  # per light: dir[3] color[3] pos[3] intensity inner outer
 _P_PER_LIGHT = 12
+# VSM shadow blocks follow the lights (one per shadowed dir light):
+# 16*C matrix floats (world->clip, row-major, cascade-major), C world
+# sizes, then normal_bias_scale, oriented_bias, vsm_bleed, vsm_min_var
+_P_PER_VSM_SCALARS = 4
 _LUM_CUTOFF = 0.25  # pbr.shade default luminance cutoff
 
 _PI = float(np.pi)
@@ -87,6 +91,127 @@ def _byte(w, b):
     # int32 intermediate: Mosaic has no u32->f32 cast
     v = ((w >> (8 * b)) & jnp.uint32(0xFF)).astype(jnp.int32)
     return v.astype(jnp.float32) * (1.0 / 255.0)
+
+
+def _worldpos(P, depth, x, y, W, H):
+    """Reverse-Z NDC unproject via inv(view_proj) rows in SMEM params.
+    ONE expression tree shared by the shade core, the spec-addr math and
+    the VSM shadow math so every consumer computes bit-identical
+    positions."""
+    ndc_x = x / W * 2.0 - 1.0
+    ndc_y = (1.0 - y / H) * 2.0 - 1.0
+
+    def ivp_row(j):
+        return (
+            P(_P_IVP + 4 * j + 0) * ndc_x
+            + P(_P_IVP + 4 * j + 1) * ndc_y
+            + P(_P_IVP + 4 * j + 2) * depth
+            + P(_P_IVP + 4 * j + 3)
+        )
+
+    ww = ivp_row(3)
+    ww = jnp.where(jnp.abs(ww) < 1e-20, 1.0, ww)
+    return ivp_row(0) / ww, ivp_row(1) / ww, ivp_row(2) / ww
+
+
+def _vsm_math(P, base, C, S, ldx, ldy, ldz, wx, wy, wz, ngx, ngy, ngz):
+    """Cascade select + bias + moment-sample addressing for one
+    directional light's VSM cascade set (passes/shadow.shadow_factor +
+    sample_shadow_vsm re-expressed on component arrays; parity:
+    forward.frag:406-445 cascade select + bias).
+
+    base: params offset of this light's VSM block. Returns
+    (addr, fx, fy, t, inside_any): addr indexes the packed [C*S*S, 8]
+    moment-quad table; the Chebyshev resolve happens where the gathered
+    rows are available (_vsm_resolve)."""
+
+    def m(c, r, k):
+        return P(base + 16 * c + 4 * r + k)
+
+    def clip_at(c, px, py, pz):
+        cx = m(c, 0, 0) * px + m(c, 0, 1) * py + m(c, 0, 2) * pz + m(c, 0, 3)
+        cy = m(c, 1, 0) * px + m(c, 1, 1) * py + m(c, 1, 2) * pz + m(c, 1, 3)
+        cz = m(c, 2, 0) * px + m(c, 2, 1) * py + m(c, 2, 2) * pz + m(c, 2, 3)
+        cw = m(c, 3, 0) * px + m(c, 3, 1) * py + m(c, 3, 2) * pz + m(c, 3, 3)
+        return cx, cy, cz, cw
+
+    # first cascade whose NDC bounds contain the (unbiased) point
+    found = None
+    casc = None
+    for c in range(C):
+        cx, cy, cz, cw = clip_at(c, wx, wy, wz)
+        w_ = jnp.where(jnp.abs(cw) < 1e-12, 1e-12, cw)
+        nx_, ny_, nz_ = cx / w_, cy / w_, cz / w_
+        inside = (
+            (nx_ >= -1.0) & (nx_ <= 1.0)
+            & (ny_ >= -1.0) & (ny_ <= 1.0)
+            & (nz_ >= 0.0) & (nz_ <= 1.0)
+        )
+        if found is None:
+            found = inside
+            casc = jnp.zeros_like(nx_, jnp.int32)
+        else:
+            casc = jnp.where(inside & ~found, c, casc)
+            found = found | inside
+
+    # normal-offset + oriented bias (shadow.shadow_factor)
+    ws = P(base + 16 * C)  # world_sizes[0]
+    for c in range(1, C):
+        ws = jnp.where(casc == c, P(base + 16 * C + c), ws)
+    sc = base + 16 * C + C
+    nbs, ob = P(sc), P(sc + 1)
+    n_dot_l = ngx * ldx + ngy * ldy + ngz * ldz
+    noff = (ws / S) * nbs * jnp.clip(1.0 - n_dot_l, 0.0, 1.0)
+    oriented = jnp.where(n_dot_l > 0.0, ob, -ob)
+    px = wx + noff * ngx + oriented * ldx
+    py = wy + noff * ngy + oriented * ldy
+    pz = wz + noff * ngz + oriented * ldz
+
+    # biased clip at the selected cascade (static where-chain)
+    bx = by = bz = bw = None
+    for c in range(C):
+        cx, cy, cz, cw = clip_at(c, px, py, pz)
+        if bx is None:
+            bx, by, bz, bw = cx, cy, cz, cw
+        else:
+            sel = casc == c
+            bx = jnp.where(sel, cx, bx)
+            by = jnp.where(sel, cy, by)
+            bz = jnp.where(sel, cz, bz)
+            bw = jnp.where(sel, cw, bw)
+
+    w_ = jnp.maximum(jnp.abs(bw), 1e-12)
+    u = (bx / w_) * 0.5 + 0.5
+    v = (by / w_) * -0.5 + 0.5
+    t = 1.0 - bz / w_
+
+    x = jnp.clip(u * S - 0.5, 0.0, S - 1.0)
+    y = jnp.clip(v * S - 0.5, 0.0, S - 1.0)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0.astype(jnp.float32)
+    fy = y - y0.astype(jnp.float32)
+    addr = casc * (S * S) + y0 * S + x0
+    return addr, fx, fy, t, found
+
+
+def _vsm_resolve(P, sc, q, fx, fy, t, inside_any):
+    """Chebyshev VSM resolve from a gathered moment-quad row
+    (shadow.sample_shadow_vsm parity). q: 8 component arrays
+    m00|m10|m01|m11 x (E[d], E[d^2]); sc: scalar block offset."""
+    mu = (q[0] * (1 - fx) + q[2] * fx) * (1 - fy) + (
+        q[4] * (1 - fx) + q[6] * fx
+    ) * fy
+    e2 = (q[1] * (1 - fx) + q[3] * fx) * (1 - fy) + (
+        q[5] * (1 - fx) + q[7] * fx
+    ) * fy
+    var = jnp.maximum(e2 - mu * mu, P(sc + 3))
+    dd = t - mu
+    p = var / (var + dd * dd)
+    p = jnp.where(dd <= 0.0, 1.0, p)
+    lb = P(sc + 2)
+    lit = jnp.clip((p - lb) / (1.0 - lb), 0.0, 1.0)
+    return jnp.where(inside_any, lit, 1.0)
 
 
 def _calc_light(
@@ -159,6 +284,7 @@ def _point_light_contrib(P, o, ctx):
 def _shade_core(
     P, light_kinds, gbrow, depth, words, spec, x, y, W, H,
     lit_map=None, ao_in=None, skip_points=False, tile_pts=None,
+    vsm_fn=None,
 ):
     """The whole deferred shade on component arrays of one pixel block.
 
@@ -226,22 +352,16 @@ def _shade_core(
     nz = jnp.where(use_map, nmz, ngz)
 
     # ---- world position from depth (reverse-Z NDC unproject)
-    ndc_x = x / W * 2.0 - 1.0
-    ndc_y = (1.0 - y / H) * 2.0 - 1.0
-
-    def ivp_row(j):
-        return (
-            P(_P_IVP + 4 * j + 0) * ndc_x
-            + P(_P_IVP + 4 * j + 1) * ndc_y
-            + P(_P_IVP + 4 * j + 2) * depth
-            + P(_P_IVP + 4 * j + 3)
-        )
-
-    wx, wy, wz, ww = ivp_row(0), ivp_row(1), ivp_row(2), ivp_row(3)
-    ww = jnp.where(jnp.abs(ww) < 1e-20, 1.0, ww)
-    wx, wy, wz = wx / ww, wy / ww, wz / ww
+    wx, wy, wz = _worldpos(P, depth, x, y, W, H)
 
     vx, vy, vz = _rnorm3(P(_P_EYE) - wx, P(_P_EYE + 1) - wy, P(_P_EYE + 2) - wz)
+
+    # ---- in-core VSM shadows: per-pixel lit factors from the gathered
+    # moment quads (replaces the XLA lit-plane pipeline)
+    if vsm_fn is not None:
+        vsm_lits = vsm_fn(wx, wy, wz, ngx, ngy, ngz)
+        lit_map = dict(lit_map) if lit_map else {}
+        lit_map.update(vsm_lits)
 
     # ---- light accumulation (emissive start, forward.frag:368-487)
     sum_r, sum_g, sum_b = em_r, em_g, em_b
@@ -377,7 +497,9 @@ def _tonemap_pack(r, g, b, exposure):
     return jax.lax.bitcast_convert_type(packed_i, jnp.uint32)
 
 
-def _pack_params(scene, env, view, exposure, n_lights):
+def _pack_params(
+    scene, env, view, exposure, n_lights, vsm_sets=(), vsm_settings=None
+):
     ivp = jnp.linalg.inv(view.view_proj)
     parts = [
         ivp.reshape(-1),
@@ -399,6 +521,21 @@ def _pack_params(scene, env, view, exposure, n_lights):
                     scene.light_inner_radius[li],
                     scene.light_outer_radius[li],
                 ]
+            ),
+        ]
+    for sset in vsm_sets:
+        st = vsm_settings
+        parts += [
+            sset.matrices.reshape(-1),
+            sset.world_sizes,
+            jnp.asarray(
+                [
+                    st.normal_bias_scale,
+                    st.oriented_bias,
+                    st.vsm_bleed,
+                    st.vsm_min_variance,
+                ],
+                jnp.float32,
             ),
         ]
     return jnp.concatenate([jnp.asarray(p, jnp.float32) for p in parts])
@@ -458,18 +595,7 @@ def _spec_addr_math(
 
     ndc_x = x / W * 2.0 - 1.0
     ndc_y = (1.0 - y / H) * 2.0 - 1.0
-
-    def ivp_row(j):
-        return (
-            P(_P_IVP + 4 * j) * ndc_x
-            + P(_P_IVP + 4 * j + 1) * ndc_y
-            + P(_P_IVP + 4 * j + 2) * depth
-            + P(_P_IVP + 4 * j + 3)
-        )
-
-    ww = ivp_row(3)
-    ww = jnp.where(jnp.abs(ww) < 1e-20, 1.0, ww)
-    wx, wy, wz = ivp_row(0) / ww, ivp_row(1) / ww, ivp_row(2) / ww
+    wx, wy, wz = _worldpos(P, depth, x, y, W, H)
     vx, vy, vz = _rnorm3(
         P(_P_EYE) - wx, P(_P_EYE + 1) - wy, P(_P_EYE + 2) - wz
     )
@@ -527,6 +653,116 @@ def _spec_addr_math(
     sx = jnp.clip((u * fres).astype(jnp.int32), 0, res - 1)
     sy = jnp.clip((v * fres).astype(jnp.int32), 0, res - 1)
     return face * t_env + off + sy * res + sx
+
+
+def _vsm_addr_math(
+    P, gbrow, depth, x, y, W, H, slots, C, S, vsm_base
+):
+    """Per-pixel moment-quad addresses for every shadowed dir light.
+    Shared by the Pallas addr kernel and the XLA twin."""
+    wx, wy, wz = _worldpos(P, depth, x, y, W, H)
+    ngx, ngy, ngz = _rnorm3(
+        gbrow(GB_NRM), gbrow(GB_NRM + 1), gbrow(GB_NRM + 2)
+    )
+    outs = []
+    for d, s in enumerate(slots):
+        o = _P_LIGHT + s * _P_PER_LIGHT
+        base = vsm_base + d * (17 * C + _P_PER_VSM_SCALARS)
+        addr, _fx, _fy, _t, _ins = _vsm_math(
+            P, base, C, S, P(o), P(o + 1), P(o + 2),
+            wx, wy, wz, ngx, ngy, ngz,
+        )
+        outs.append(addr)
+    return outs
+
+
+def _vsm_addr_kernel(
+    params_ref, gb_ref, depth_ref, out_ref,
+    *, ntx, tile_h, tile_w, W, H, slots, C, S, vsm_base,
+):
+    g = pl.program_id(0)
+    tpx = tile_h * tile_w
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (_GROUP, tpx), 0)
+    p_idx = jax.lax.broadcasted_iota(jnp.int32, (_GROUP, tpx), 1)
+    t = g * _GROUP + s_idx
+    x = ((t % ntx) * tile_w + p_idx % tile_w).astype(jnp.float32) + 0.5
+    y = ((t // ntx) * tile_h + p_idx // tile_w).astype(jnp.float32) + 0.5
+    addrs = _vsm_addr_math(
+        lambda i: params_ref[i], lambda r: gb_ref[r], depth_ref[...],
+        x, y, W, H, slots, C, S, vsm_base,
+    )
+    for d, a in enumerate(addrs):
+        out_ref[d] = a
+
+
+def _vsm_prepass(
+    params, gb_rows, depth_t, vsm_sets, slots, C, S, vsm_base,
+    ntx, tile_h, tile_w, H, W, backend="xla", interpret=False,
+):
+    """Moment-quad gather planes for the shade kernel: address math in
+    Pallas (or the XLA twin), ONE [8-f32]-row gather per pixel per
+    shadowed light (the only HBM-indirect part of VSM shadowing).
+    Returns [nd*8, ntp, tpx] f32."""
+    ntp, tpx = depth_t.shape
+    nd = len(slots)
+    if backend == "xla":
+        x, y = _tile_coords(ntp, tpx, ntx, tile_h, tile_w)
+        addrs = _vsm_addr_math(
+            lambda i: params[i], lambda r: gb_rows[r], depth_t,
+            x, y, W, H, slots, C, S, vsm_base,
+        )
+        addr = jnp.stack(addrs)
+    else:
+        addr = pl.pallas_call(
+            functools.partial(
+                _vsm_addr_kernel, ntx=ntx, tile_h=tile_h, tile_w=tile_w,
+                W=W, H=H, slots=slots, C=C, S=S, vsm_base=vsm_base,
+            ),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(ntp // _GROUP,),
+                in_specs=[
+                    pl.BlockSpec(
+                        (GB_ROWS, _GROUP, tpx), lambda g, p: (0, g, 0)
+                    ),
+                    pl.BlockSpec((_GROUP, tpx), lambda g, p: (g, 0)),
+                ],
+                out_specs=pl.BlockSpec(
+                    (nd, _GROUP, tpx), lambda g, p: (0, g, 0)
+                ),
+            ),
+            out_shape=jax.ShapeDtypeStruct((nd, ntp, tpx), jnp.int32),
+            interpret=interpret,
+            name="vsm_addr",
+        )(params, gb_rows, depth_t)
+    quads = []
+    for d, sset in enumerate(vsm_sets):
+        q = sset.moments[addr[d].reshape(-1)]  # [ntp*tpx, 8]
+        quads.append(q.reshape(ntp, tpx, 8).transpose(2, 0, 1))
+    return jnp.concatenate(quads, axis=0)
+
+
+def _make_vsm_fn(P, q_row, slots, C, S, vsm_base):
+    """vsm_fn for _shade_core: recomputes the (cheap) addressing math
+    and resolves Chebyshev from the pre-gathered quad rows. q_row(k) ->
+    the k-th of the nd*8 gathered component arrays."""
+
+    def vsm_fn(wx, wy, wz, ngx, ngy, ngz):
+        lits = {}
+        for d, s in enumerate(slots):
+            o = _P_LIGHT + s * _P_PER_LIGHT
+            base = vsm_base + d * (17 * C + _P_PER_VSM_SCALARS)
+            _addr, fx, fy, t, ins = _vsm_math(
+                P, base, C, S, P(o), P(o + 1), P(o + 2),
+                wx, wy, wz, ngx, ngy, ngz,
+            )
+            q = [q_row(d * 8 + k) for k in range(8)]
+            lits[s] = _vsm_resolve(
+                P, base + 17 * C, q, fx, fy, t, ins
+            )
+        return lits
+
+    return vsm_fn
 
 
 def _tile_coords(ntp, tpx, ntx, tile_h, tile_w):
@@ -638,6 +874,7 @@ def _kernel(
     params_ref, *refs,
     ntx, tile_h, tile_w, W, H, light_kinds,
     lit_slots, has_ao, tl_cap, emit_hdr, point_slots=(),
+    vsm_slots=(), vsm_c=0, vsm_s=0, vsm_base=0,
 ):
     refs = list(refs)
     tli_ref = tlc_ref = gpl_ref = None
@@ -646,6 +883,7 @@ def _kernel(
     gb_ref, depth_ref, words_ref, spec_ref = refs[:4]
     refs = refs[4:]
     lit_ref = refs.pop(0) if lit_slots else None
+    vsm_ref = refs.pop(0) if vsm_slots else None
     ao_ref = refs.pop(0) if has_ao else None
     out_ref = refs.pop(0)
 
@@ -721,10 +959,17 @@ def _kernel(
                 rows[2].append(acc[2])
             return tuple(jnp.concatenate(r, axis=0) for r in rows)
 
+    vsm_fn = (
+        _make_vsm_fn(
+            P, lambda k: vsm_ref[k], vsm_slots, vsm_c, vsm_s, vsm_base
+        )
+        if vsm_slots
+        else None
+    )
     r, g_, b = _shade_core(
         P, light_kinds, gbrow, depth_ref[...], words, spec, x, y, W, H,
         lit_map=lit_map, ao_in=ao_in, skip_points=bool(tl_cap),
-        tile_pts=tile_pts,
+        tile_pts=tile_pts, vsm_fn=vsm_fn,
     )
     if emit_hdr:
         zero = jnp.zeros((1, tpx), jnp.float32)
@@ -756,6 +1001,12 @@ def shade_deferred_tiled(
     interpret: bool = False,
     lit_t=None,  # [nd, ntp, tpx] f32 CSM lit planes (one per shadowed dir)
     shadow_slots=(),  # static light-slot index per lit plane
+    vsm_sets=(),  # ShadowMaps per shadowed dir light (filter="vsm"):
+    #   cascade select + bias + Chebyshev run IN the kernel; the only
+    #   external work is the per-pixel moment-quad gather (_vsm_prepass).
+    #   Mutually exclusive with lit_t (the PCSS lit-plane path).
+    vsm_slots=(),  # static light-slot index per vsm set
+    vsm_settings=None,  # ShadowSettings (cascade_count/resolution/biases)
     ao_t=None,  # [ntp, tpx] f32 SSAO factor
     tile_lights=None,  # ([ntp, K] i32 ids, [ntp] i32 counts): clustered
     #   point lights — when given, POINT kinds leave the static loop and
@@ -778,11 +1029,27 @@ def shade_deferred_tiled(
     from orbit_tpu.raster.layout import gbuf_tiles_to_rows
 
     gb_rows = gbuf_tiles_to_rows(gb_t, GB_ROWS)  # [GB, ntp, tpx]
-    params = _pack_params(scene, env, view, exposure, len(light_kinds))
+    vsm_slots = tuple(int(s) for s in vsm_slots)
+    params = _pack_params(
+        scene, env, view, exposure, len(light_kinds),
+        vsm_sets=vsm_sets, vsm_settings=vsm_settings,
+    )
     words_r, spec_r = _prepass(
         assets, env, params, gb_rows, depth_t, ntx, tile_h, tile_w,
         height, width, backend=backend, interpret=interpret,
     )
+    vsm_t = None
+    vsm_c = vsm_s = 0
+    vsm_base = _P_LIGHT + len(light_kinds) * _P_PER_LIGHT
+    if vsm_slots:
+        assert lit_t is None, "vsm_sets and lit_t are mutually exclusive"
+        vsm_c = vsm_settings.cascade_count
+        vsm_s = vsm_settings.resolution
+        vsm_t = _vsm_prepass(
+            params, gb_rows, depth_t, vsm_sets, vsm_slots, vsm_c, vsm_s,
+            vsm_base, ntx, tile_h, tile_w, height, width,
+            backend=backend, interpret=interpret,
+        )
     tl_cap = tile_lights[0].shape[1] if tile_lights is not None else 0
 
     if backend == "xla":
@@ -854,12 +1121,20 @@ def shade_deferred_tiled(
                     )
                 return acc
 
+        vsm_fn = (
+            _make_vsm_fn(
+                lambda i: params[i], lambda k: vsm_t[k],
+                vsm_slots, vsm_c, vsm_s, vsm_base,
+            )
+            if vsm_slots
+            else None
+        )
         r, g, b = _shade_core(
             lambda i: params[i], light_kinds,
             lambda rr: gb_rows[rr], depth_t, words, spec, x, y,
             width, height,
             lit_map=lit_map, ao_in=ao_t, skip_points=bool(tl_cap),
-            tile_pts=tile_pts,
+            tile_pts=tile_pts, vsm_fn=vsm_fn,
         )
         if emit_hdr:
             zero = jnp.zeros_like(r)
@@ -897,6 +1172,12 @@ def shade_deferred_tiled(
             pl.BlockSpec((nd, _GROUP, tpx), lambda g, *p: (0, g, 0))
         )
         operands.append(lit_t)
+    if vsm_slots:
+        nd8 = len(vsm_slots) * 8
+        in_specs.append(
+            pl.BlockSpec((nd8, _GROUP, tpx), lambda g, *p: (0, g, 0))
+        )
+        operands.append(vsm_t)
     if ao_t is not None:
         in_specs.append(pl.BlockSpec((_GROUP, tpx), lambda g, *p: (g, 0)))
         operands.append(ao_t)
@@ -921,6 +1202,10 @@ def shade_deferred_tiled(
             tl_cap=tl_cap,
             emit_hdr=emit_hdr,
             point_slots=point_slots,
+            vsm_slots=vsm_slots,
+            vsm_c=vsm_c,
+            vsm_s=vsm_s,
+            vsm_base=vsm_base,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(prefetch),

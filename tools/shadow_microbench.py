@@ -146,7 +146,9 @@ def main():
         ms_d, _ = run(depth_only=True)
         ms_skip, _ = run(all_skip=True)
         ms_p16, _ = run(pack=16)
-        ms_h8, np8 = run(tile_h=8, pair_cap=min(2 * cap, 98304))
+        # chained raster calls need pair_cap % 49152 == 0 above one chunk
+        h8cap = 2 * cap if 2 * cap <= 49152 else -(-2 * cap // 49152) * 49152
+        ms_h8, np8 = run(tile_h=8, pair_cap=h8cap)
         nmask = int(
             jnp.sum((geom.mask_slot >= 0) & geom.inst_valid)
         )
