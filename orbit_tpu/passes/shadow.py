@@ -90,11 +90,14 @@ class ShadowMaps:
     # named sub-flags (which ceiling): expand / compact / pairs_opaque /
     # pairs_masked — populated by render_shadow_cascades
     overflow_detail: dict = None
-    # VSM moments (filter="vsm"): [C*S*S, 8] prefiltered (E[d], E[d^2])
-    # quad rows — the edge-clamped bilinear footprint m00|m10|m01|m11 of
-    # each texel packed into one row, so a full bilinear moment sample
-    # is ONE row gather (rows cost the same as scalars on TPU)
-    moments: jax.Array = None
+    # VSM moments (filter="vsm"): TWO [C*S*S, 4] prefiltered quad
+    # tables — the edge-clamped bilinear footprint m00|m10|m01|m11 of
+    # each texel packed per row, mu (E[d]) and e2 (E[d^2]) separately.
+    # Two 16-byte-row gathers per pixel: measured ~2 ns/row on v5e,
+    # while one 32-byte (k=8) row gather scalarizes to ~10.6 ns/row
+    # (tools/gather_microbench.py — k<=4 rows are the fast regime)
+    moments: jax.Array = None  # mu quads [C*S*S, 4]
+    moments2: jax.Array = None  # e2 quads [C*S*S, 4]
 
 
 def cascade_views(
@@ -297,11 +300,11 @@ def render_shadow_cascades(
         "pairs_masked": ovf_m,
     }
     overflow = ovf_expand | ovf_compact | ovf_o | ovf_m
-    moments = (
-        compute_vsm_moments(depth_all, settings.vsm_blur_taps)
-        if settings.filter == "vsm"
-        else None
-    )
+    moments = moments2 = None
+    if settings.filter == "vsm":
+        moments, moments2 = compute_vsm_moments(
+            depth_all, settings.vsm_blur_taps
+        )
     return ShadowMaps(
         depth=depth_all,
         matrices=jnp.stack(mats),
@@ -310,6 +313,7 @@ def render_shadow_cascades(
         overflow=overflow,
         overflow_detail=detail,
         moments=moments,
+        moments2=moments2,
     )
 
 
@@ -320,11 +324,12 @@ def compute_vsm_moments(depth, taps: int):
     This is the TPU-native half of shadow filtering: the blur is a
     regular stencil over the whole cascade (VPU-friendly, no gathers);
     the per-pixel resolve then needs ONE moment sample instead of the
-    PCSS tap cloud. Returns [C*S*S, 8] rows packing the full bilinear
-    footprint (m00|m10|m01|m11, edge-clamped, 2 f32 each) so one row
-    gather feeds the whole bilinear blend — 4 separate 2-wide tap
-    gathers here cost ~46 ms/frame at 1080p; the 4x-duplicated table
-    trades ~100 MB of HBM for one ~12 ms gather.
+    PCSS tap cloud. Returns TWO [C*S*S, 4] quad tables (mu, e2), each
+    row packing the edge-clamped bilinear footprint m00|m10|m01|m11 of
+    one texel: the full bilinear blend costs two 16-byte row gathers.
+    (4 separate 2-wide tap gathers cost ~46 ms/frame at 1080p; one
+    packed 8-wide row scalarizes to ~30 ms; two 4-wide rows ride the
+    fast k<=4 gather regime at ~8 ms — tools/gather_microbench.py.)
     """
     C, S, _ = depth.shape
     d = 1.0 - depth
@@ -353,10 +358,15 @@ def compute_vsm_moments(depth, taps: int):
         return jnp.concatenate([v[:, 1:], v[:, -1:]], axis=1)
 
     m10 = shift_x(x)
-    packed = jnp.concatenate(
-        [x, m10, shift_y(x), shift_y(m10)], axis=-1
-    )  # [C, S, S, 8]
-    return packed.reshape(C * S * S, 8)
+    m01 = shift_y(x)
+    m11 = shift_y(m10)
+    mu = jnp.stack(
+        [x[..., 0], m10[..., 0], m01[..., 0], m11[..., 0]], axis=-1
+    )  # [C, S, S, 4]
+    e2 = jnp.stack(
+        [x[..., 1], m10[..., 1], m01[..., 1], m11[..., 1]], axis=-1
+    )
+    return mu.reshape(C * S * S, 4), e2.reshape(C * S * S, 4)
 
 
 def sample_shadow_vsm(
@@ -383,15 +393,19 @@ def sample_shadow_vsm(
     fx = (x - x0)[:, None]
     fy = (y - y0)[:, None]
     base = cascade * (res * res)
-    # ONE row gather: the packed table carries the full edge-clamped
-    # bilinear footprint per texel (see compute_vsm_moments)
-    q = shadows.moments[base + y0 * res + x0]  # [N, 8]
-    m00, m10, m01, m11 = q[:, 0:2], q[:, 2:4], q[:, 4:6], q[:, 6:8]
-    mom = (m00 * (1 - fx) + m10 * fx) * (1 - fy) + (
-        m01 * (1 - fx) + m11 * fx
-    ) * fy  # [N, 2]
-    mu = mom[:, 0]
-    var = jnp.maximum(mom[:, 1] - mu * mu, settings.vsm_min_variance)
+    # TWO fast 16-byte row gathers: each quad table carries the full
+    # edge-clamped bilinear footprint per texel (compute_vsm_moments)
+    addr = base + y0 * res + x0
+    qm = shadows.moments[addr]  # [N, 4] mu quad
+    qe = shadows.moments2[addr]  # [N, 4] e2 quad
+
+    def blend(q):
+        return (q[:, 0] * (1 - fx[:, 0]) + q[:, 1] * fx[:, 0]) * (
+            1 - fy[:, 0]
+        ) + (q[:, 2] * (1 - fx[:, 0]) + q[:, 3] * fx[:, 0]) * fy[:, 0]
+
+    mu = blend(qm)
+    var = jnp.maximum(blend(qe) - mu * mu, settings.vsm_min_variance)
     dd = t - mu
     p = var / (var + dd * dd)
     p = jnp.where(dd <= 0.0, 1.0, p)

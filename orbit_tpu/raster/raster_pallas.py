@@ -354,14 +354,14 @@ def _depth_alpha_kernel(
     tile_h, tile_w, ntx, vis_base_offset, pack, rows_per_view=0,
 ):
     """Depth-only raster with the winner-level alpha test: the shadow-
-    cascade fast path for MASKED materials. Same two-phase structure as
-    the G-buffer kernel (deferred commit so a failing alpha test can
-    discard the winner) but no attribute interpolation beyond uv and no
-    G-buffer traffic at all."""
+    cascade path for MASKED materials. The alpha test is evaluated
+    PER CHUNK (chunks partition the tile's pixels, so each chunk's
+    depth-test winner is independent): a small foliage meshlet spanning
+    one quarter-row chunk pays the uv/mask matmuls on [*, cpx] lanes
+    only, not the whole tile — and only when it won a pixel there."""
     setup_refs = refs[:pack]
     attrs_refs = refs[pack : 2 * pack]
-    (mask_ref, _i1, _i2, depth_ref, vis_ref,
-     cur_min_ref, won_ref, bt_s, win_s, bz_s) = refs[2 * pack :]
+    (mask_ref, _i1, _i2, depth_ref, vis_ref, cur_min_ref) = refs[2 * pack :]
     del _i1, _i2  # aliased to depth/vis (in-place update)
     p = pl.program_id(0)
     tpx = tile_h * tile_w
@@ -405,18 +405,14 @@ def _depth_alpha_kernel(
 
         vis_base = ((slot + vis_base_offset) << 6) + 1
 
-        @pl.when(active)
-        def _():
-            won_ref[0, 0] = 0
-            win_s[...] = jnp.zeros((1, tpx), jnp.float32)
-
         for q in range(n_chunks):
             run_q = active if n_chunks == 1 else (
                 active & (q >= q0) & (q <= q1)
             )
 
             @pl.when(run_q)
-            def _(q=q, r=r, coef=coef):
+            def _(q=q, r=r, j=j, s=s, coef=coef, vis_base=vis_base,
+                  mslot=mslot):
                 lanes = pl.ds(q * cpx, cpx)
                 flat = jax.lax.broadcasted_iota(jnp.int32, (1, cpx), 1)
                 col = (flat % tile_w).astype(jnp.float32)
@@ -442,83 +438,84 @@ def _depth_alpha_kernel(
 
                 cur_d = depth_ref[pl.ds(r, 1), lanes]
                 win = best_z > cur_d
-                bz_s[0:1, lanes] = best_z
-                bt_s[0:1, lanes] = best_tri
-                win_s[0:1, lanes] = win.astype(jnp.float32)
+                won = jnp.any(win)
 
-                @pl.when(jnp.any(win))
+                def commit(winm, r=r, lanes=lanes, cur_d=cur_d,
+                           best_z=best_z, best_tri=best_tri,
+                           vis_base=vis_base):
+                    cur_v = vis_ref[pl.ds(r, 1), lanes]
+                    depth_ref[pl.ds(r, 1), lanes] = jnp.where(
+                        winm, best_z, cur_d
+                    )
+                    vis_ref[pl.ds(r, 1), lanes] = jnp.where(
+                        winm, vis_base + best_tri, cur_v
+                    )
+
+                # OPAQUE pairs commit straight from the depth test
+                @pl.when(won & (mslot < 0))
                 def _():
-                    won_ref[0, 0] = 1
+                    commit(win)
 
-        @pl.when(active & (won_ref[0, 0] == 1))
-        def _(j=j, r=r, s=s, vis_base=vis_base, mslot=mslot):
-            # OPAQUE meshlets (the bulk of any cascade) commit straight
-            # from the raster-phase scratch — no attribute selection, no
-            # uv interpolation, no mask matmuls. Only MASKED pairs pay
-            # for the alpha evaluation below.
-            @pl.when(mslot >= 0)
-            def _():
-                from orbit_tpu.raster.kernel_common import (
-                    ALPHA_MASK_RES,
-                    CA_CH,
-                    alpha_mask_texel_index,
-                    eval_uv,
-                )
+                # MASKED pairs: refine this chunk's winners by the
+                # material's alpha mask before commit (one-hot MXU
+                # selects on [*, cpx] lanes only — a foliage meshlet
+                # spanning one quarter-row chunk never touches the
+                # rest of the tile)
+                @pl.when(won & (mslot >= 0))
+                def _():
+                    from orbit_tpu.raster.kernel_common import (
+                        ALPHA_MASK_RES,
+                        CA_CH,
+                        alpha_mask_texel_index,
+                        eval_uv,
+                    )
 
-                flat = jax.lax.broadcasted_iota(jnp.int32, (1, tpx), 1)
-                col = (flat % tile_w).astype(jnp.float32)
-                row = (flat // tile_w).astype(jnp.float32)
-                xs = tx * tile_w + col + 0.5
-                ys = ty * tile_h + row + 0.5
+                    attrs_m = attrs_refs[j][...]  # [CA_ROWS, 64]
+                    oh = (
+                        jax.lax.broadcasted_iota(jnp.int32, (64, cpx), 0)
+                        == jnp.broadcast_to(best_tri, (64, cpx))
+                    ).astype(jnp.float32)
+                    uv_rows = jnp.concatenate(
+                        [
+                            attrs_m[0:2],
+                            attrs_m[CA_CH : CA_CH + 2],
+                            attrs_m[2 * CA_CH : 2 * CA_CH + 2],
+                        ],
+                        axis=0,
+                    )  # [6, 64]
+                    sel_uv = jax.lax.dot_general(
+                        uv_rows, oh, (((1,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    sel_s = jax.lax.dot_general(
+                        s, oh, (((0,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    u, v = eval_uv(sel_uv, sel_s, xs, ys)
 
-                attrs_m = attrs_refs[j][...]  # [CA_ROWS, 64]
-                bt = bt_s[...]
-                oh = (
-                    jax.lax.broadcasted_iota(jnp.int32, (64, tpx), 0)
-                    == jnp.broadcast_to(bt, (64, tpx))
-                ).astype(jnp.float32)
-                uv_rows = jnp.concatenate(
-                    [
-                        attrs_m[0:2],
-                        attrs_m[CA_CH : CA_CH + 2],
-                        attrs_m[2 * CA_CH : 2 * CA_CH + 2],
-                    ],
-                    axis=0,
-                )  # [6, 64]
-                sel_uv = jax.lax.dot_general(
-                    uv_rows, oh, (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                sel_s = jax.lax.dot_general(
-                    s, oh, (((0,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                u, v = eval_uv(sel_uv, sel_s, xs, ys)
+                    R = ALPHA_MASK_RES
+                    ui, vi = alpha_mask_texel_index(u, v, R)
+                    mblk = mask_ref[
+                        pl.ds(jnp.maximum(mslot, 0) * R, R), :
+                    ]
+                    iota_r = jax.lax.broadcasted_iota(
+                        jnp.int32, (R, cpx), 0
+                    )
+                    oh_v = (iota_r == vi).astype(jnp.float32)
+                    B = jax.lax.dot_general(
+                        mblk, oh_v, (((0,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    iota_c = jax.lax.broadcasted_iota(
+                        jnp.int32, (128, cpx), 0
+                    )
+                    oh_u = (iota_c == ui).astype(jnp.float32)
+                    a = jnp.sum(B * oh_u, axis=0, keepdims=True)
+                    # signed alpha field: keep iff alpha > cutoff
+                    commit(win & (a > 0.0))
 
-                R = ALPHA_MASK_RES
-                ui, vi = alpha_mask_texel_index(u, v, R)
-                mblk = mask_ref[pl.ds(mslot * R, R), :]
-                iota_r = jax.lax.broadcasted_iota(jnp.int32, (R, tpx), 0)
-                oh_v = (iota_r == vi).astype(jnp.float32)
-                B = jax.lax.dot_general(
-                    mblk, oh_v, (((0,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                iota_c = jax.lax.broadcasted_iota(jnp.int32, (128, tpx), 0)
-                oh_u = (iota_c == ui).astype(jnp.float32)
-                a = jnp.sum(B * oh_u, axis=0, keepdims=True)
-                ok = a > 0.0  # signed alpha field: keep iff alpha > cutoff
-                win_s[...] = jnp.where(
-                    ok, win_s[...], jnp.zeros((1, tpx), jnp.float32)
-                )
-
-            winm = win_s[...] > 0.0
-            cur_d = depth_ref[pl.ds(r, 1), :]
-            cur_v = vis_ref[pl.ds(r, 1), :]
-            depth_ref[pl.ds(r, 1), :] = jnp.where(winm, bz_s[...], cur_d)
-            vis_ref[pl.ds(r, 1), :] = jnp.where(
-                winm, vis_base + bt_s[...], cur_v
-            )
+        @pl.when(active)
+        def _(r=r):
             cur_min_ref[0, 0] = jnp.min(depth_ref[pl.ds(r, 1), :])
 
 
@@ -626,13 +623,7 @@ def rasterize_pallas_depth_alpha(
             grid=(chunk // pack,),
             in_specs=in_specs,
             out_specs=[fb_spec, fb_spec],
-            scratch_shapes=[
-                pltpu.SMEM((1, 1), jnp.float32),
-                pltpu.SMEM((1, 1), jnp.int32),
-                pltpu.VMEM((1, tpx), jnp.int32),
-                pltpu.VMEM((1, tpx), jnp.float32),
-                pltpu.VMEM((1, tpx), jnp.float32),
-            ],
+            scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
         )
         meta, tq = _pair_meta(
             _slice_bins(bins, s), chunk, inst_mask_slot=inst_mask_slot
@@ -684,12 +675,10 @@ def _gbuffer_kernel(
     rest = refs[2 * pack :]
     if use_alpha:
         (mask_ref, _i1, _i2, _i3,
-         depth_ref, vis_ref, gb_ref,
-         cur_min_ref, won_ref, bt_s, win_s, bz_s) = rest
+         depth_ref, vis_ref, gb_ref, cur_min_ref) = rest
     else:
         (_i1, _i2, _i3,
-         depth_ref, vis_ref, gb_ref,
-         cur_min_ref, won_ref, bt_s, win_s, bz_s) = rest
+         depth_ref, vis_ref, gb_ref, cur_min_ref) = rest
         mask_ref = None
     del _i1, _i2, _i3  # aliased to depth/vis/gb (in-place update)
     p = pl.program_id(0)
@@ -739,22 +728,21 @@ def _gbuffer_kernel(
 
         vis_base = ((slot + vis_base_offset) << 6) + 1
 
-        # phase 1 (chunked): edge/depth functionals + depth test on the
-        # quarter-row chunks the meshlet bbox spans; winners land in the
-        # bz_s/bt_s/win_s scratch rows — depth/vis writes are DEFERRED to
-        # phase 2 so a failing alpha test can still discard the winner
-        @pl.when(active)
-        def _():
-            won_ref[0, 0] = 0
-            win_s[...] = jnp.zeros((1, tpx), jnp.float32)
-
+        # one pass over the quarter-row chunks the meshlet bbox spans
+        # (chunks partition the tile's pixels, so each chunk's winner is
+        # independent): edge/depth functionals + depth test, then the
+        # attribute interpolation + alpha refine + commit on THIS
+        # chunk's lanes only, and only when the pair won a pixel here.
+        # A ~30 px meshlet spanning one chunk touches [*, cpx] lanes
+        # once instead of paying a full-tile [*, tpx] phase 2.
         for q in range(n_chunks):
             run_q = active if n_chunks == 1 else (
                 active & (q >= q0) & (q <= q1)
             )
 
             @pl.when(run_q)
-            def _(q=q, r=r, coef=coef):
+            def _(q=q, r=r, j=j, s=s, coef=coef, vis_base=vis_base,
+                  mslot=mslot):
                 lanes = pl.ds(q * cpx, cpx)
                 flat = jax.lax.broadcasted_iota(jnp.int32, (1, cpx), 1)
                 col = (flat % tile_w).astype(jnp.float32)
@@ -780,9 +768,6 @@ def _gbuffer_kernel(
 
                 cur_d = depth_ref[pl.ds(r, 1), lanes]
                 win = best_z > cur_d
-                bz_s[0:1, lanes] = best_z
-                bt_s[0:1, lanes] = best_tri
-                win_s[0:1, lanes] = win.astype(jnp.float32)
 
                 if overdraw:
                     # overdraw accumulates over all covering fragments
@@ -794,132 +779,133 @@ def _gbuffer_kernel(
                         gb_ref[pl.ds(od_row, 1), lanes] + coverage
                     )
 
+                # attribute interpolation + commit for pairs that won a
+                # pixel IN THIS CHUNK; occluded/losing pairs skip it
                 @pl.when(jnp.any(win))
                 def _():
-                    won_ref[0, 0] = 1
+                    # winner select as ONE-HOT MXU MATMULS: both the
+                    # corner-attr rows (tri_ac block, gathered from the
+                    # ASSET array by meshlet id — never materialized per
+                    # frame) and the winning triangle's 12 setup
+                    # coefficients. A one-hot select is EXACT in f32
+                    # (products v*1 and v*0, one nonzero addend), so it
+                    # matches the XLA twin's gather bit-for-bit.
+                    attrs_m = attrs_refs[j][...]  # [CA_ROWS, 64]
+                    oh = (
+                        jax.lax.broadcasted_iota(jnp.int32, (64, cpx), 0)
+                        == jnp.broadcast_to(best_tri, (64, cpx))
+                    ).astype(jnp.float32)
+                    sel_f = jax.lax.dot_general(
+                        attrs_m, oh, (((1,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # [CA_ROWS, CPX]
+                    sel_s = jax.lax.dot_general(
+                        s, oh, (((0,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # [12, CPX]
+                    channels = eval_gbuffer_channels(sel_f, sel_s, xs, ys)
 
-        # phase 2: one attribute-interpolation pass over the whole tile
-        # for pairs that won any pixel — occluded ones skip it. The
-        # alpha test refines the win mask BEFORE depth/vis/gb commit.
-        @pl.when(active & (won_ref[0, 0] == 1))
-        def _(j=j, r=r, s=s, vis_base=vis_base, mslot=mslot):
-            flat = jax.lax.broadcasted_iota(jnp.int32, (1, tpx), 1)
-            col = (flat % tile_w).astype(jnp.float32)
-            row = (flat // tile_w).astype(jnp.float32)
-            xs = tx * tile_w + col + 0.5  # [1, TPX]
-            ys = ty * tile_h + row + 0.5
-
-            # winner select as ONE-HOT MXU MATMULS: both the corner-attr
-            # rows (tri_ac block, gathered from the ASSET array by
-            # meshlet id — never materialized per frame) and the winning
-            # triangle's 12 setup coefficients. A one-hot select is
-            # EXACT in f32 (products v*1 and v*0, one nonzero addend),
-            # so it matches the XLA twin's gather bit-for-bit.
-            attrs_m = attrs_refs[j][...]  # [CA_ROWS, 64] tri_ac block
-            bt = bt_s[...]  # stale ids in skipped chunks; masked by winm
-            oh = (
-                jax.lax.broadcasted_iota(jnp.int32, (64, tpx), 0)
-                == jnp.broadcast_to(bt, (64, tpx))
-            ).astype(jnp.float32)
-            sel_f = jax.lax.dot_general(
-                attrs_m, oh, (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-            )  # [CA_ROWS, TPX]
-            sel_s = jax.lax.dot_general(
-                s, oh, (((0,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-            )  # [12, TPX]
-
-            def commit(_unused):
-                channels = eval_gbuffer_channels(sel_f, sel_s, xs, ys)
-
-                if use_alpha:
-                    # winner-level alpha test against the material's
-                    # VMEM-resident 64x64 mask: one-hot over the v texel
-                    # row feeds an MXU matmul with the mask block, then
-                    # the u one-hot selects the texel (values are exact
-                    # 0/1, so any matmul precision is exact)
-                    @pl.when(mslot >= 0)
-                    def _():
-                        from orbit_tpu.raster.kernel_common import (
-                            ALPHA_MASK_RES,
-                            GB_DUDX,
-                            GB_DUDY,
-                            GB_DVDX,
-                            GB_DVDY,
-                            GB_U,
-                            GB_V,
-                            alpha_coverage_test,
-                            alpha_mask_texel_index,
+                    def commit(winm):
+                        cur_v = vis_ref[pl.ds(r, 1), lanes]
+                        depth_ref[pl.ds(r, 1), lanes] = jnp.where(
+                            winm, best_z, cur_d
+                        )
+                        vis_ref[pl.ds(r, 1), lanes] = jnp.where(
+                            winm, vis_base + best_tri, cur_v
+                        )
+                        # write only the interpolated rows — GB_OVERDRAW
+                        # is an accumulator and must not be clobbered
+                        gb_base = r * GB_ROWS
+                        cur_g = gb_ref[pl.ds(gb_base, GB_OVERDRAW), lanes]
+                        gb_ref[pl.ds(gb_base, GB_OVERDRAW), lanes] = (
+                            jnp.where(
+                                winm, channels[:GB_OVERDRAW], cur_g
+                            )
                         )
 
-                        R = ALPHA_MASK_RES
-                        u = channels[GB_U : GB_U + 1]
-                        v = channels[GB_V : GB_V + 1]
-                        ui, vi = alpha_mask_texel_index(u, v, R)
-                        mblk = mask_ref[pl.ds(mslot * R, R), :]  # [R,128]
-                        iota_r = jax.lax.broadcasted_iota(
-                            jnp.int32, (R, tpx), 0
-                        )
-                        oh_v = (iota_r == vi).astype(jnp.float32)
-                        # B[c,p] = sum_i mblk[i,c] * oh_v[i,p]: one
-                        # matmul materializes BOTH mask channels (s in
-                        # cols 0..R-1, gradient in cols R..2R-1)
-                        B = jax.lax.dot_general(
-                            mblk, oh_v, (((0,), (0,)), ((), ())),
-                            precision=jax.lax.Precision.HIGHEST,
-                        )  # [128, tpx]
-                        iota_c = jax.lax.broadcasted_iota(
-                            jnp.int32, (128, tpx), 0
-                        )
-                        oh_u = (iota_c == ui).astype(jnp.float32)
-                        s_a = jnp.sum(B * oh_u, axis=0, keepdims=True)
-                        oh_g = (iota_c == ui + R).astype(jnp.float32)
-                        g_a = jnp.sum(B * oh_g, axis=0, keepdims=True)
-                        duv = jnp.maximum(
-                            jnp.maximum(
-                                jnp.abs(channels[GB_DUDX : GB_DUDX + 1]),
-                                jnp.abs(channels[GB_DVDX : GB_DVDX + 1]),
-                            ),
-                            jnp.maximum(
-                                jnp.abs(channels[GB_DUDY : GB_DUDY + 1]),
-                                jnp.abs(channels[GB_DVDY : GB_DVDY + 1]),
-                            ),
-                        )
-                        flat_i = jax.lax.broadcasted_iota(
-                            jnp.int32, (1, tpx), 1
-                        )
-                        xi = tile % ntx * tile_w + flat_i % tile_w
-                        yi = (
-                            (tile // ntx + rowoff_ref[0]) * tile_h
-                            + flat_i // tile_w
-                        )
-                        ok = alpha_coverage_test(
-                            s_a, g_a, duv, xi, yi, a2c_samples
-                        )
-                        win_s[...] = jnp.where(
-                            ok, win_s[...], jnp.zeros((1, tpx), jnp.float32)
-                        )
+                    if not use_alpha:
+                        commit(win)
+                    else:
+                        @pl.when(mslot < 0)
+                        def _():
+                            commit(win)
 
-                winm = win_s[...] > 0.0
-                # commit depth/vis from the (alpha-refined) winner mask
-                cur_d = depth_ref[pl.ds(r, 1), :]
-                cur_v = vis_ref[pl.ds(r, 1), :]
-                depth_ref[pl.ds(r, 1), :] = jnp.where(
-                    winm, bz_s[...], cur_d
-                )
-                vis_ref[pl.ds(r, 1), :] = jnp.where(
-                    winm, vis_base + bt_s[...], cur_v
-                )
-                # write only the interpolated rows — GB_OVERDRAW is an
-                # accumulator and must not be clobbered
-                gb_base = r * GB_ROWS
-                cur_g = gb_ref[pl.ds(gb_base, GB_OVERDRAW), :]
-                gb_ref[pl.ds(gb_base, GB_OVERDRAW), :] = jnp.where(
-                    winm, channels[:GB_OVERDRAW], cur_g
-                )
+                        # winner-level alpha test against the material's
+                        # VMEM-resident 64x64 mask: one-hot over the v
+                        # texel row feeds an MXU matmul with the mask
+                        # block, then the u one-hot selects the texel
+                        # (values are exact 0/1, so any matmul precision
+                        # is exact)
+                        @pl.when(mslot >= 0)
+                        def _():
+                            from orbit_tpu.raster.kernel_common import (
+                                ALPHA_MASK_RES,
+                                GB_DUDX,
+                                GB_DUDY,
+                                GB_DVDX,
+                                GB_DVDY,
+                                GB_U,
+                                GB_V,
+                                alpha_coverage_test,
+                                alpha_mask_texel_index,
+                            )
 
-            commit(None)
+                            R = ALPHA_MASK_RES
+                            u = channels[GB_U : GB_U + 1]
+                            v = channels[GB_V : GB_V + 1]
+                            ui, vi = alpha_mask_texel_index(u, v, R)
+                            mblk = mask_ref[
+                                pl.ds(jnp.maximum(mslot, 0) * R, R), :
+                            ]  # [R, 128]
+                            iota_r = jax.lax.broadcasted_iota(
+                                jnp.int32, (R, cpx), 0
+                            )
+                            oh_v = (iota_r == vi).astype(jnp.float32)
+                            # B[c,p] = sum_i mblk[i,c] * oh_v[i,p]: one
+                            # matmul materializes BOTH mask channels (s
+                            # in cols 0..R-1, gradient in R..2R-1)
+                            B = jax.lax.dot_general(
+                                mblk, oh_v, (((0,), (0,)), ((), ())),
+                                precision=jax.lax.Precision.HIGHEST,
+                            )  # [128, cpx]
+                            iota_c = jax.lax.broadcasted_iota(
+                                jnp.int32, (128, cpx), 0
+                            )
+                            oh_u = (iota_c == ui).astype(jnp.float32)
+                            s_a = jnp.sum(B * oh_u, axis=0, keepdims=True)
+                            oh_g = (iota_c == ui + R).astype(jnp.float32)
+                            g_a = jnp.sum(B * oh_g, axis=0, keepdims=True)
+                            duv = jnp.maximum(
+                                jnp.maximum(
+                                    jnp.abs(
+                                        channels[GB_DUDX : GB_DUDX + 1]
+                                    ),
+                                    jnp.abs(
+                                        channels[GB_DVDX : GB_DVDX + 1]
+                                    ),
+                                ),
+                                jnp.maximum(
+                                    jnp.abs(
+                                        channels[GB_DUDY : GB_DUDY + 1]
+                                    ),
+                                    jnp.abs(
+                                        channels[GB_DVDY : GB_DVDY + 1]
+                                    ),
+                                ),
+                            )
+                            xi = (tile % ntx * tile_w + flat % tile_w)
+                            yi = (
+                                (tile // ntx + rowoff_ref[0]) * tile_h
+                                + flat // tile_w
+                                + q * rows_per_chunk
+                            )
+                            ok = alpha_coverage_test(
+                                s_a, g_a, duv, xi, yi, a2c_samples
+                            )
+                            commit(win & ok)
+
+        @pl.when(active)
+        def _(r=r):
             cur_min_ref[0, 0] = jnp.min(depth_ref[pl.ds(r, 1), :])
 
 
@@ -1061,13 +1047,7 @@ def rasterize_pallas_gbuffer(
         grid=(chunk // pack,),
         in_specs=in_specs,
         out_specs=[fb_spec, fb_spec, gb_spec],
-        scratch_shapes=[
-            pltpu.SMEM((1, 1), jnp.float32),
-            pltpu.SMEM((1, 1), jnp.int32),
-            pltpu.VMEM((1, tpx), jnp.int32),
-            pltpu.VMEM((1, tpx), jnp.float32),
-            pltpu.VMEM((1, tpx), jnp.float32),
-        ],
+        scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
     )
 
     if inst_mid is None:

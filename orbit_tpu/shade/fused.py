@@ -196,14 +196,14 @@ def _vsm_math(P, base, C, S, ldx, ldy, ldz, wx, wy, wz, ngx, ngy, ngz):
 
 
 def _vsm_resolve(P, sc, q, fx, fy, t, inside_any):
-    """Chebyshev VSM resolve from a gathered moment-quad row
-    (shadow.sample_shadow_vsm parity). q: 8 component arrays
-    m00|m10|m01|m11 x (E[d], E[d^2]); sc: scalar block offset."""
-    mu = (q[0] * (1 - fx) + q[2] * fx) * (1 - fy) + (
-        q[4] * (1 - fx) + q[6] * fx
+    """Chebyshev VSM resolve from gathered moment-quad rows
+    (shadow.sample_shadow_vsm parity). q: 8 component arrays — the mu
+    quad m00|m10|m01|m11 then the e2 quad; sc: scalar block offset."""
+    mu = (q[0] * (1 - fx) + q[1] * fx) * (1 - fy) + (
+        q[2] * (1 - fx) + q[3] * fx
     ) * fy
-    e2 = (q[1] * (1 - fx) + q[3] * fx) * (1 - fy) + (
-        q[5] * (1 - fx) + q[7] * fx
+    e2 = (q[4] * (1 - fx) + q[5] * fx) * (1 - fy) + (
+        q[6] * (1 - fx) + q[7] * fx
     ) * fy
     var = jnp.maximum(e2 - mu * mu, P(sc + 3))
     dd = t - mu
@@ -737,8 +737,13 @@ def _vsm_prepass(
         )(params, gb_rows, depth_t)
     quads = []
     for d, sset in enumerate(vsm_sets):
-        q = sset.moments[addr[d].reshape(-1)]  # [ntp*tpx, 8]
-        quads.append(q.reshape(ntp, tpx, 8).transpose(2, 0, 1))
+        flat = addr[d].reshape(-1)
+        # two 16-byte-row gathers (the fast k<=4 regime, ~2 ns/row;
+        # a single packed k=8 row scalarizes to ~10.6 ns/row)
+        qm = sset.moments[flat]  # [ntp*tpx, 4] mu quad
+        qe = sset.moments2[flat]  # [ntp*tpx, 4] e2 quad
+        quads.append(qm.reshape(ntp, tpx, 4).transpose(2, 0, 1))
+        quads.append(qe.reshape(ntp, tpx, 4).transpose(2, 0, 1))
     return jnp.concatenate(quads, axis=0)
 
 
