@@ -50,6 +50,7 @@ def build(W=1920, H=1080, rbackend=None):
     from orbit_tpu.passes.bloom import BloomSettings
     from orbit_tpu.passes.cluster import ClusterSettings
     from orbit_tpu.passes.shadow import ShadowSettings
+    from orbit_tpu.passes.ssao import SsaoSettings
 
     if rbackend is None:
         rbackend = "pallas" if backend == "tpu" else "xla"
@@ -58,11 +59,14 @@ def build(W=1920, H=1080, rbackend=None):
         height=H,
         raster=RasterConfig(
             backend=rbackend,
+            # tile shape (round 5 measurements, tools/tile_experiment):
+            # the kernel is ~0.4 us/pair fixed-overhead-bound and pair-
+            # body gating made padding slots cheap; 32-row tiles win for
+            # depth-only work but the G-buffer kernel's phase-2 register
+            # set spills past VMEM at tile_px 4096 with the alpha test
+            # (53 -> 510 ms), so the G-buffer raster stays at 16x128
             tile_h=16,
             tile_w=128,
-            # capacities size every compacted stage's static cost: keep
-            # them snug over the fly-through's worst case (overflow
-            # flags guard against silent drops)
             pair_capacity=147456,  # 3 chained 49152-pair raster calls
         ),
         # aggressive distance LOD (the XL meshes carry steep 0.55x/level
@@ -82,23 +86,37 @@ def build(W=1920, H=1080, rbackend=None):
         shadows=ShadowSettings(
             resolution=1024, cascade_count=4, max_distance=60.0,
             filter="vsm",
+            # moments at half the cascade res: the per-pixel moment
+            # gather was the frame's largest (2 x 9 ms from 67 MB
+            # full-res tables); the VSM blur low-passes anyway
+            vsm_moment_scale=2,
             # VSM's 7-texel prefilter swallows detail below ~2 texels,
             # so casters can drop one more LOD than the texel floor
             lod_texel_scale=2.0,
-            # worst-case fly-through pairs per cascade, measured:
-            # opaque 13k/10k/17k/31k, masked 21k/6k/7k/13k (near
-            # cascades are foliage-heavy; the atlas raster runs masked
-            # casters through their own alpha kernel) + ~25% headroom
-            pair_capacities=(16384, 12288, 20480, 38912),
-            masked_pair_capacities=(26624, 8192, 9216, 16384),
+            # worst-case fly-through pairs per cascade at 16x128 tiles
+            # (tools/shadow_caps.py: opaque 12.8k/9.7k/16.8k/30.8k,
+            # masked 20.9k/6.2k/7.2k/13.3k over 20 sampled views) + ~30%
+            # headroom — padding slots are cheap since the pair body
+            # gates on `active`
+            # generous: pair-body gating makes unused slots ~50 ns
+            # each, and the measured worst cases under-predict the
+            # pipeline's real streams in some tail views
+            pair_capacities=(24576, 16384, 28672, 49152),
+            masked_pair_capacities=(32768, 12288, 12288, 24576),
         ),
         shadow_raster=RasterConfig(
             backend=rbackend, tile_h=16, tile_w=128,
             pair_capacity=49152,
         ),
-        shadow_draw_capacity=32768,
-        shadow_instance_capacity=49152,
+        # per-cascade ceilings from the measured fly-through worst case
+        # (tools/shadow_caps.py: drawn <= 1.0k/2.4k/7.0k/26.8k,
+        # expanded <= 2.6k/3.8k/9.2k/31.4k) + ~30%
+        shadow_draw_capacity=(2048, 3072, 9216, 34816),
+        shadow_instance_capacity=(4096, 5120, 12288, 40960),
         clusters=ClusterSettings(tile_light_cap=32),
+        # config-5 stress parity: SSAO runs in the bench (dense method:
+        # fixed screen-space spiral taps = zero gathers, see passes/ssao)
+        ssao=SsaoSettings(method="dense"),
         bloom=BloomSettings(),
     )
     pipe = Pipeline(
@@ -243,9 +261,11 @@ def main():
             "ms/frame at 1080p, steady-state fly-through (bistro_xl: "
             "42k stored meshlets / 2.65M stored tris / 5.1k entities "
             "instancing ~40M tris; meshlet pipeline, frustum+cone+"
-            "two-pass HiZ occlusion, PBR+IBL shade, 4-cascade CSM(VSM), "
-            "256 clustered point lights, bloom — the full BASELINE "
-            "north-star config)"
+            "two-pass HiZ occlusion, PBR+IBL shade, 4-cascade "
+            "CSM(VSM, half-res moments), 256 clustered point lights, "
+            "SSAO(dense), bloom — the BASELINE north-star config; "
+            "texture filtering: nearest-mip (reference default is "
+            "trilinear aniso-16)"
         ),
         "value": round(ms_frame, 3),
         "unit": "ms",
@@ -254,6 +274,19 @@ def main():
             "backend": backend,
             "fps": round(1000.0 / ms_frame, 2),
             "serialized_p50_ms": round(float(np.percentile(ser, 50)), 3),
+            # wall-vs-device attribution (round-3 acceptance item): the
+            # chained-loop wall clock minus the profiled on-device time.
+            # tools/wallgap.py owns the decomposition: on this tunneled
+            # TPU the first D2H flips the client into synchronous
+            # dispatch, so each frame serializes host dispatch of ~1.5k
+            # XLA ops (~10-15 ms) with device execution; on untunneled
+            # hardware with 2 frames in flight the gap pipelines away.
+            "wall_minus_device_ms": (
+                round(ms_frame - pass_ms["total_device_ms"], 3)
+                if pass_ms.get("total_device_ms")
+                else None
+            ),
+            "dispatch_latency_ms": round(latency_ms, 3),
             "frames_timed": len(timed),
             "meshlets_in_store": int(ameta.num_meshlets),
             "lod0_meshlets": lod0_meshlets,

@@ -241,13 +241,32 @@ def load_gltf(
                 tex = doc["textures"][key["index"]]
                 bucket.add(_tex_source(tex))
 
+    # glTF sampler state per texture (the reference maps each texture's
+    # sampler to a SamplerKind, gltf_loader.rs:559-569). glTF wrap enums:
+    # 10497 REPEAT, 33071 CLAMP_TO_EDGE, 33648 MIRRORED_REPEAT; filter
+    # 9728 NEAREST else linear (the reference's default samplers are
+    # trilinear+aniso, device.rs:1321-1322).
+    _WRAPS = {10497: "repeat", 33071: "clamp", 33648: "mirror"}
+
+    def _sampler_of(tex):
+        si = tex.get("sampler")
+        if si is None:
+            return "repeat", "linear"
+        smp = doc.get("samplers", [])[si]
+        wrap = _WRAPS.get(smp.get("wrapS", 10497), "repeat")
+        filt = "nearest" if smp.get("magFilter") == 9728 else "linear"
+        return wrap, filt
+
     tex_layer: Dict[int, int] = {}
     for t_idx, tex in enumerate(doc.get("textures", [])):
         src = _tex_source(tex)
         if src in tex_layer:
             continue
         img = _decode_image(doc, buffers, src, path.parent)
-        tex_layer[src] = store.add_texture(img, srgb=(src in srgb_sources))
+        wrap, filt = _sampler_of(tex)
+        tex_layer[src] = store.add_texture(
+            img, srgb=(src in srgb_sources), wrap=wrap, filter=filt
+        )
 
     def layer_of(tex_info) -> int:
         if tex_info is None:

@@ -130,6 +130,32 @@ def build_lod_chain(
         )
         if len(new_idx) >= len(cur_idx):
             break
+        # QEM collapses can leave (near-)zero-area triangles; in MODEL
+        # space they are harmless-looking, but the rasterizer's clipless
+        # degeneracy test runs in pixel-scale homogeneous units where
+        # their determinant is pure FP noise — a surviving degenerate
+        # rasterizes as a screen-spanning phantom sliver. Drop them here
+        # (the reference's meshopt path discards them the same way).
+        new_idx, new_mat = _drop_degenerate(positions, new_idx, new_mat)
+        if len(new_idx) >= len(cur_idx) or len(new_idx) == 0:
+            break
         lods.append((new_idx, new_mat))
         cur_idx, cur_mat = new_idx, new_mat
     return lods
+
+
+def _drop_degenerate(positions, idx, mat, rel_eps: float = 1e-6):
+    """Remove triangles whose area is negligible relative to the mesh
+    bounds (exact duplicates of a collapsed edge included)."""
+    tris = idx.reshape(-1, 3)
+    tri = positions[tris]
+    lo, hi = positions.min(0), positions.max(0)
+    diam2 = float(((hi - lo) ** 2).sum()) or 1.0
+    a2 = (
+        np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]) ** 2
+    ).sum(-1)
+    keep = a2 > (rel_eps * diam2) ** 2
+    return (
+        tris[keep].reshape(-1).astype(idx.dtype),
+        mat[keep] if mat is not None else None,
+    )

@@ -51,7 +51,12 @@ class AssetStore:
         self.num_texture_layers = 0
 
     # -- textures ----------------------------------------------------------
-    def add_texture(self, img: np.ndarray, srgb: bool = True) -> int:
+    def add_texture(
+        self, img: np.ndarray, srgb: bool = True,
+        wrap: str = "repeat", filter: str = "linear",
+    ) -> int:
+        """wrap/filter: the texture's glTF sampler state (the reference
+        binds a SamplerKind per texture, gltf_loader.rs:559-569)."""
         layer = self.num_texture_layers
         assert layer < self.caps.texture_layers, "texture capacity exceeded"
         mips = tex_mod.bake_layer(img, self.caps.texture_size, srgb)
@@ -60,6 +65,8 @@ class AssetStore:
             s = m.shape[0]
             self.h["tex_data"][layer, off : off + s * s] = m.reshape(-1, 4)
         self.h["tex_srgb"][layer] = srgb
+        self.h["tex_wrap"][layer] = types_mod.WRAP_NAMES[wrap]
+        self.h["tex_filter"][layer] = types_mod.FILTER_NAMES[filter]
         self.num_texture_layers += 1
         return layer
 
@@ -205,6 +212,7 @@ class AssetStore:
         neutral[:, 11] = 255  # occlusion
 
         n_c = 0
+        self._ctex_wrap = []
         for m in range(self.num_materials):
             slots = h["mat_tex"][m]
             if (slots < 0).all():
@@ -226,8 +234,76 @@ class AssetStore:
                 c[:, 11] = h["tex_data"][occl][:, 0]
             h["ctex_data"][n_c] = c
             h["mat_ctex"][m] = n_c
+            # the material's sampler = its base-color texture's (first
+            # present slot as fallback): one combined texel shares one
+            # sampler across the material's slots
+            key = base if base >= 0 else max(slots)
+            h["mat_sampler"][m] = types_mod.sampler_id(
+                h["tex_wrap"][key], h["tex_filter"][key]
+            )
+            self._ctex_wrap.append(int(h["tex_wrap"][key]))
             n_c += 1
+        self.num_ctex = n_c
         self._bake_alpha_masks()
+
+    def _quad_neighbors(self, wrap: int) -> np.ndarray:
+        """[T4, 3] flat-atlas texel index of (right, down, down-right)
+        neighbors per texel, under `wrap`, per mip (filter tables)."""
+        S = self.caps.texture_size
+        T4 = types_mod.atlas_texels(S)
+        out = np.zeros((T4, 3), np.int64)
+        k, s = 0, S
+        while True:
+            off = self._mip_offsets[k] if k < len(self._mip_offsets) else 0
+            y, x = np.mgrid[0:s, 0:s]
+
+            def wrapc(v, s=s):
+                if wrap == types_mod.WRAP_CLAMP:
+                    return np.clip(v, 0, s - 1)
+                if wrap == types_mod.WRAP_MIRROR:
+                    pm = v % (2 * s)
+                    return np.where(pm < s, pm, 2 * s - 1 - pm)
+                return v % s  # repeat
+
+            xr = wrapc(x + 1)
+            yd = wrapc(y + 1)
+            idx = (off + y * s + x).ravel()
+            out[idx, 0] = (off + y * s + xr).ravel()
+            out[idx, 1] = (off + yd * s + x).ravel()
+            out[idx, 2] = (off + yd * s + xr).ravel()
+            if s == 1:
+                break
+            s //= 2
+            k += 1
+        return out
+
+    def _build_filter_tables(self) -> np.ndarray:
+        """Quad tables for in-kernel bilinear/trilinear sampling: for
+        word j in 0..2, row t = word j at texels (t, right, down,
+        down-right) with each LAYER's OWN wrap mode baked into the
+        neighbor choice — one 16-byte-row gather per (word, mip) yields
+        a full bilinear footprint. Returns [3, Lc*T4, 4] u32."""
+        h = self.h
+        T4 = h["ctex_data"].shape[1]
+        Lc = self.num_ctex
+        words = (
+            np.ascontiguousarray(h["ctex_data"][:Lc])
+            .view(np.uint32)
+            .reshape(Lc, T4, 4)
+        )
+        nbr_cache = {}
+        quad = np.zeros((3, max(Lc, 1) * T4, 4), np.uint32)
+        for lc in range(Lc):
+            w = self._ctex_wrap[lc]
+            if w not in nbr_cache:
+                nbr_cache[w] = self._quad_neighbors(w)
+            nb = nbr_cache[w]
+            for j in range(3):
+                ws = words[lc, :, j]
+                quad[j, lc * T4 : (lc + 1) * T4] = np.stack(
+                    [ws, ws[nb[:, 0]], ws[nb[:, 1]], ws[nb[:, 2]]], axis=-1
+                )
+        return quad
 
     def _bake_alpha_masks(self):
         """Bake each MASKED material's alpha into the small VMEM-resident
@@ -277,6 +353,7 @@ class AssetStore:
             )
             h["mat_mask_slot"][m] = n
             n += 1
+        self.num_mask_slots = n
 
     def _bake_tri_ac_constants(self):
         """Fill the per-meshlet material-constant rows of tri_ac (CA_BASE
@@ -299,20 +376,30 @@ class AssetStore:
                 h["mat_mask_slot"][mats][:, None].astype(np.float32),
                 h["mat_ctex"][mats][:, None].astype(np.float32),
                 mats[:, None].astype(np.float32),
+                h["mat_sampler"][mats][:, None].astype(np.float32),
             ],
             axis=1,
-        ).astype(np.float32)  # [n, 12]
+        ).astype(np.float32)  # [n, 13] (== CA_CONST_ROWS, GB order)
         h["tri_ac"][:n, CA_BASE : CA_BASE + consts.shape[1], :] = consts[
             :, :, None
         ]
 
     # -- upload ---------------------------------------------------------------
-    def to_device(self, device=None) -> tuple[AssetArrays, AssetMeta]:
+    def to_device(
+        self, device=None, filter_tables: bool = False
+    ) -> tuple[AssetArrays, AssetMeta]:
+        """filter_tables: also build + ship the bilinear/trilinear quad
+        tables (3x the combined-texture memory; required for the fused
+        kernel's texture_filter in ('bilinear','trilinear'))."""
         self._build_combined_textures()
         self._bake_tri_ac_constants()
         h = self.h
         put = lambda x: jax.device_put(x, device)
         d = dict(h)
+        if filter_tables:
+            d["ctex_quad"] = (
+                self._build_filter_tables().view(np.float32)
+            )
         # ship the 16-byte combined texels bitcast as f32x4: f32 rows are
         # the fastest gather dtype on TPU (u8 rows gather ~5x slower)
         d["ctex_data"] = np.ascontiguousarray(h["ctex_data"]).view(
@@ -328,6 +415,7 @@ class AssetStore:
             num_materials=self.num_materials,
             num_texture_layers=self.num_texture_layers,
             has_alpha_masks=bool((self.h["mat_mask_slot"] >= 0).any()),
+            num_mask_slots=int(getattr(self, "num_mask_slots", 0)),
             has_transparent=bool(
                 (
                     self.h["mat_alpha_mode"][: self.num_materials]

@@ -27,6 +27,22 @@ ALPHA_MODE_OPAQUE = 0
 ALPHA_MODE_MASKED = 1
 ALPHA_MODE_TRANSPARENT = 2
 
+# per-texture sampler state (reference SamplerKind, device.rs:1291-1322,
+# bound per glTF texture at gltf_loader.rs:559-569)
+WRAP_REPEAT = 0
+WRAP_CLAMP = 1
+WRAP_MIRROR = 2
+FILTER_LINEAR = 0  # trilinear-with-aniso in the reference's default
+FILTER_NEAREST = 1
+WRAP_NAMES = {"repeat": WRAP_REPEAT, "clamp": WRAP_CLAMP,
+              "mirror": WRAP_MIRROR}
+FILTER_NAMES = {"linear": FILTER_LINEAR, "nearest": FILTER_NEAREST}
+
+
+def sampler_id(wrap: int, filt: int) -> int:
+    """Packed per-material sampler id: wrap | filter << 2."""
+    return int(wrap) | (int(filt) << 2)
+
 # alpha-test masks: masked materials bake their thresholded base-texture
 # alpha into a small VMEM-resident bitmap the rasterizer consults at
 # winner-select time (reference: forward_depth_prepass.frag:35-57 /
@@ -81,6 +97,8 @@ class AssetMeta:
     num_texture_layers: int = 0
     has_alpha_masks: bool = False  # any MASKED material baked a mask
     has_transparent: bool = False  # any TRANSPARENT material present
+    num_mask_slots: int = 0  # baked alpha-mask count (VMEM-resident
+    #   raster operand is sliced to this — capacity padding costs VMEM)
     caps: AssetCaps = field(default_factory=AssetCaps)
 
 
@@ -166,6 +184,9 @@ class AssetArrays:
       tex_data        [L, T4, 4] u8 where T4 = sum((S>>k)^2); texel
                       (layer, mip k, y, x) lives at mip_offsets(S)[k] + y*(S>>k) + x
       tex_srgb        [L] bool — layer stores sRGB-encoded data
+      tex_wrap        [L] i32 WRAP_* (glTF sampler wrapS; reference binds
+                      a SamplerKind per texture, gltf_loader.rs:559-569)
+      tex_filter      [L] i32 FILTER_* (glTF sampler magFilter)
     Combined material texture (all of a material's texture slots share uv,
     so they are baked into ONE 12-channel texel — one gather per tap
     instead of five; missing slots bake neutral values):
@@ -174,6 +195,18 @@ class AssetArrays:
                       bytes: base RGBA(srgb), normal xy, metallic, roughness,
                       emissive RGB(srgb), occlusion, 4 pad
       mat_ctex        [Ma] i32 combined layer per material (-1 = untextured)
+      mat_sampler     [Ma] i32 wrap | filter<<2 — the material's sampler
+                      (its base-color texture's; one combined texel means
+                      one sampler per MATERIAL, a slight narrowing of the
+                      reference's per-texture binding: a material mixing
+                      wrap modes across its own slots shares the base
+                      texture's wrap)
+      ctex_quad       OPTIONAL [3, Lc*T4, 4] u32-bitcast-f32 quad tables
+                      (to_device(filter_tables=True)): row t of table j =
+                      word j at texels (t, right, down, down-right) with
+                      the layer's OWN wrap baked into the neighbors — one
+                      16-byte-row gather per (word, mip) yields a full
+                      bilinear footprint (in-kernel trilinear = 6 gathers)
     """
 
     positions: jax.Array
@@ -208,8 +241,12 @@ class AssetArrays:
 
     tex_data: jax.Array
     tex_srgb: jax.Array
+    tex_wrap: jax.Array
+    tex_filter: jax.Array
     ctex_data: jax.Array
     mat_ctex: jax.Array
+    mat_sampler: jax.Array
+    ctex_quad: object = None
 
 
 def empty_asset_numpy(caps: AssetCaps) -> dict:
@@ -250,6 +287,9 @@ def empty_asset_numpy(caps: AssetCaps) -> dict:
         ),
         tex_data=np.zeros((L, atlas_texels(S), 4), np.uint8),
         tex_srgb=np.zeros((L,), bool),
+        tex_wrap=np.zeros((L,), np.int32),
+        tex_filter=np.zeros((L,), np.int32),
         ctex_data=np.zeros((L, atlas_texels(S), 16), np.uint8),
         mat_ctex=np.full((Ma,), -1, np.int32),
+        mat_sampler=np.zeros((Ma,), np.int32),
     )

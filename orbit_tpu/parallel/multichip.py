@@ -76,6 +76,7 @@ def render_frame_sharded(
         bins = bin_meshlets(
             bbox, geom.inst_valid, width, band_h, cfg.tile_h, cfg.tile_w,
             cfg.pair_capacity, max_z=geom.max_z,
+            group_align=cfg.pairs_per_step,
         )
         # rasterize the band with pixel rows offset to global coordinates
         depth, vis = _raster_band(
@@ -195,16 +196,30 @@ def frame_sharded(
 
 
 def _raster_band(setup, bins, band_h, width, cfg, y_offset):
-    """Rasterize one horizontal band; pixel centers offset by y_offset."""
-    # reuse the XLA tile rasterizer on the band, then shift depth plane
-    # evaluation: the setup coefficients are in full-screen pixel space, so
-    # offset the tile pixel-center y inside the functional evaluation by
-    # rewriting c' = c + b * y_offset for every functional.
-    s = setup.reshape(setup.shape[0], -1, 12)
+    """Rasterize one horizontal band; pixel centers offset by y_offset.
+
+    Dispatches on cfg.backend, so the PRODUCTION Pallas kernels run
+    inside shard_map (interpret mode on CPU meshes; native on real
+    multi-chip hardware)."""
+    # shift depth-plane evaluation: the setup coefficients are in
+    # full-screen pixel space, so offset the tile pixel-center y inside
+    # the functional evaluation by rewriting c' = c + b * y_offset.
+    s = setup  # [I, 12, 64] coefficient-major
     shift = jnp.zeros_like(s)
-    shift = shift.at[..., 2].set(s[..., 1] * y_offset)
-    shift = shift.at[..., 5].set(s[..., 4] * y_offset)
-    shift = shift.at[..., 8].set(s[..., 7] * y_offset)
-    shift = shift.at[..., 11].set(s[..., 10] * y_offset)
+    shift = shift.at[:, 2].set(s[:, 1] * y_offset)
+    shift = shift.at[:, 5].set(s[:, 4] * y_offset)
+    shift = shift.at[:, 8].set(s[:, 7] * y_offset)
+    shift = shift.at[:, 11].set(s[:, 10] * y_offset)
     s = s + shift
-    return rasterize_xla(s, bins, band_h, width, cfg.tile_h, cfg.tile_w)
+    backend = cfg.resolve_backend()
+    if backend == "xla":
+        return rasterize_xla(
+            s, bins, band_h, width, cfg.tile_h, cfg.tile_w
+        )
+    from orbit_tpu.raster.raster_pallas import rasterize_pallas
+
+    return rasterize_pallas(
+        s, bins, band_h, width, cfg.tile_h, cfg.tile_w,
+        interpret=(backend == "pallas_interpret"),
+        pairs_per_step=cfg.pairs_per_step,
+    )

@@ -54,6 +54,14 @@ class ShadowSettings:
     vsm_blur_taps: int = 7  # prefilter width in texels (odd)
     vsm_bleed: float = 0.35  # light-bleed reduction clamp
     vsm_min_variance: float = 1e-6
+    # moment-table resolution divisor (1 = full cascade res, 2 = half).
+    # The VSM prefilter already low-passes the moments over
+    # ~vsm_blur_taps texels, so storing them at half resolution (with
+    # the blur width halved to keep the same world-space kernel) loses
+    # almost nothing — and the per-pixel moment gather, the single
+    # largest HBM-gather cost of the frame (2 x 9 ms at 1080p from the
+    # 67 MB full-res tables), drops ~4x with the table size.
+    vsm_moment_scale: int = 1
     # LOD floor from the cascade's own texel size: a cascade of world
     # radius r has texels 2r/resolution wide, so geometry below the LOD
     # the MAIN camera would use at the distance where ITS pixels are
@@ -90,14 +98,17 @@ class ShadowMaps:
     # named sub-flags (which ceiling): expand / compact / pairs_opaque /
     # pairs_masked — populated by render_shadow_cascades
     overflow_detail: dict = None
-    # VSM moments (filter="vsm"): TWO [C*S*S, 4] prefiltered quad
-    # tables — the edge-clamped bilinear footprint m00|m10|m01|m11 of
-    # each texel packed per row, mu (E[d]) and e2 (E[d^2]) separately.
+    # VSM moments (filter="vsm"): TWO [C*Sm*Sm, 4] prefiltered quad
+    # tables (Sm = resolution // vsm_moment_scale) — the edge-clamped
+    # bilinear footprint m00|m10|m01|m11 of each texel packed per row,
+    # mu (E[d]) and e2 (E[d^2]) separately.
     # Two 16-byte-row gathers per pixel: measured ~2 ns/row on v5e,
     # while one 32-byte (k=8) row gather scalarizes to ~10.6 ns/row
     # (tools/gather_microbench.py — k<=4 rows are the fast regime)
-    moments: jax.Array = None  # mu quads [C*S*S, 4]
-    moments2: jax.Array = None  # e2 quads [C*S*S, 4]
+    moments: jax.Array = None  # mu quads [C*Sm*Sm, 4]
+    moments2: jax.Array = None  # e2 quads [C*Sm*Sm, 4]
+    # moment-table resolution (S // vsm_moment_scale)
+    moment_res: int = field(metadata=dict(static=True), default=1024)
 
 
 def cascade_views(
@@ -221,7 +232,13 @@ def render_shadow_cascades(
     use_alpha: scenes with MASKED materials route masked casters through
     the alpha-test depth kernel so cutouts punch holes in the shadow
     maps (reference: shadow.frag:23-38 alpha-cutoff discard); opaque
-    casters take the cheap immediate-commit kernel."""
+    casters take the cheap immediate-commit kernel.
+
+    instance_capacity / draw_capacity accept an int or a PER-CASCADE
+    tuple: every capacity slot costs expansion/geometry work whether
+    used or not, and near cascades see a fraction of the far cascades'
+    casters, so snug per-cascade ceilings cut dead prep time (the
+    overflow flags still guard every one)."""
     from orbit_tpu.raster.api import rasterize_depth_views
 
     S = settings.resolution
@@ -229,9 +246,15 @@ def render_shadow_cascades(
     geoms, mats, sizes = [], [], []
     ovf_expand = jnp.zeros((), bool)
     ovf_compact = jnp.zeros((), bool)
+
+    def per_cascade(v, ci):
+        return v[ci] if isinstance(v, (tuple, list)) else v
+
     for ci, (view, radius) in enumerate(
         cascade_views(camera_view, fovy, aspect, light_dir, settings)
     ):
+        inst_cap = per_cascade(instance_capacity, ci)
+        draw_cap = per_cascade(draw_capacity, ci)
         # LOD floor from this cascade's texel size (see ShadowSettings)
         min_lod = 0
         if settings.lod_texel_scale > 0 and view_height > 0:
@@ -256,7 +279,7 @@ def render_shadow_cascades(
             min_lod=min_lod,
         )
         ie, im, il, iv, ovf_e = expand_instances(
-            assets, draw_e, lod_idx, scene.entity_mesh, instance_capacity
+            assets, draw_e, lod_idx, scene.entity_mesh, inst_cap
         )
         ovf_expand = ovf_expand | ovf_e
         draw_m, _ = cull_meshlet_instances(
@@ -271,11 +294,11 @@ def render_shadow_cascades(
         )
         # drawn-instance compaction (see pipeline): geometry/raster cost
         # tracks the cascade's real draw count, not the expansion cap
-        if draw_capacity and draw_capacity < instance_capacity:
+        if draw_cap and draw_cap < inst_cap:
             from orbit_tpu.cull.entity_cull import compact_drawn
 
             ie, im, draw_m, ovf_c = compact_drawn(
-                ie, im, draw_m, draw_capacity
+                ie, im, draw_m, draw_cap
             )
             ovf_compact = ovf_compact | ovf_c
         geom = process_geometry(
@@ -303,7 +326,8 @@ def render_shadow_cascades(
     moments = moments2 = None
     if settings.filter == "vsm":
         moments, moments2 = compute_vsm_moments(
-            depth_all, settings.vsm_blur_taps
+            depth_all, settings.vsm_blur_taps,
+            scale=settings.vsm_moment_scale,
         )
     return ShadowMaps(
         depth=depth_all,
@@ -314,26 +338,39 @@ def render_shadow_cascades(
         overflow_detail=detail,
         moments=moments,
         moments2=moments2,
+        moment_res=S // settings.vsm_moment_scale,
     )
 
 
-def compute_vsm_moments(depth, taps: int):
+def compute_vsm_moments(depth, taps: int, scale: int = 1):
     """Dense separable box prefilter of the VSM moments (E[d], E[d^2]),
     d = 1 - reverse-Z light depth (background z=0 -> d=1 = far).
 
     This is the TPU-native half of shadow filtering: the blur is a
     regular stencil over the whole cascade (VPU-friendly, no gathers);
     the per-pixel resolve then needs ONE moment sample instead of the
-    PCSS tap cloud. Returns TWO [C*S*S, 4] quad tables (mu, e2), each
+    PCSS tap cloud. Returns TWO [C*Sm*Sm, 4] quad tables (mu, e2), each
     row packing the edge-clamped bilinear footprint m00|m10|m01|m11 of
     one texel: the full bilinear blend costs two 16-byte row gathers.
     (4 separate 2-wide tap gathers cost ~46 ms/frame at 1080p; one
     packed 8-wide row scalarizes to ~30 ms; two 4-wide rows ride the
     fast k<=4 gather regime at ~8 ms — tools/gather_microbench.py.)
+
+    scale = 2: moments are stored at HALF the cascade resolution
+    (Sm = S // 2). The 2x2 box downsample of (d, d^2) composed with a
+    half-width blur approximates the full-res blur's world-space
+    kernel, and the moment gather tables shrink 4x (the per-pixel
+    gather is the cost driver at 1080p).
     """
     C, S, _ = depth.shape
     d = 1.0 - depth
     x = jnp.stack([d, d * d], axis=-1)  # [C, S, S, 2]
+    if scale > 1:
+        x = x.reshape(C, S // scale, scale, S // scale, scale, 2).mean(
+            axis=(2, 4)
+        )
+        S = S // scale
+        taps = max((taps // scale) | 1, 3)
     r = taps // 2
 
     def blur_axis(v, axis):
@@ -379,7 +416,7 @@ def sample_shadow_vsm(
     lit upper bound p = sigma^2 / (sigma^2 + (t - mu)^2) for receivers
     beyond the mean occluder depth, 1 otherwise; light bleeding clamped
     (standard VSM tail rescale). Returns [N] lit factor."""
-    res = shadows.resolution
+    res = shadows.moment_res
     w = jnp.maximum(jnp.abs(clip_pos[:, 3]), 1e-12)
     ndc = clip_pos[:, :3] / w[:, None]
     u = ndc[:, 0] * 0.5 + 0.5

@@ -28,6 +28,20 @@ class SsaoSettings:
     strength: float = 1.0
     bias: float = 0.02
     full_resolution: bool = True
+    # method = "hemisphere": the reference's view-space hemisphere
+    # sampling (ssao.comp) — per-pixel IGN-rotated kernel, projected
+    # sample positions, ONE DEPTH GATHER PER SAMPLE (16 x 2M gathers at
+    # 1080p: tens of ms on TPU; correct but only for small frames).
+    # method = "dense": TPU-native restructure — a fixed spiral of
+    # SCREEN-space tap offsets shared by all pixels, so every tap is a
+    # dense shifted read of the position image (zero gathers, pure VPU).
+    # Occlusion per tap uses the same 3D range-checked comparison on
+    # actual reconstructed positions; the per-pixel rotation is traded
+    # for more taps + the 4x4 blur. The world radius becomes
+    # depth-proportional (screen-constant), the classic SSAO variant.
+    method: str = "hemisphere"
+    # dense method: tap radius in pixels at the screen center
+    pixel_radius: float = 24.0
 
 
 def _hemisphere_kernel(n: int, seed: int = 7) -> np.ndarray:
@@ -61,6 +75,8 @@ def compute_ssao(
     settings: SsaoSettings,
 ):
     """Returns [H,W] AO factor (1 = unoccluded)."""
+    if settings.method == "dense":
+        return compute_ssao_dense(depth, normal_view, view_params, settings)
     H, W = depth.shape
     pos = view_pos_from_depth(depth, view_params, W, H)
     valid = depth > 0.0
@@ -111,6 +127,74 @@ def compute_ssao(
         occl = occl + occluded * range_check
 
     ao = 1.0 - settings.strength * occl / settings.samples
+    ao = jnp.clip(ao, 0.0, 1.0)
+    ao = jnp.where(valid, ao, 1.0)
+    return blur4x4(ao)
+
+
+def _spiral_offsets(n: int, radius_px: float) -> np.ndarray:
+    """Deterministic golden-angle spiral of integer pixel offsets."""
+    i = np.arange(n, dtype=np.float32)
+    r = np.sqrt((i + 0.5) / n) * radius_px
+    theta = i * 2.39996323  # golden angle
+    off = np.stack([r * np.cos(theta), r * np.sin(theta)], -1)
+    off = np.round(off).astype(np.int32)
+    # never the null offset (it would self-occlude)
+    off[(off[:, 0] == 0) & (off[:, 1] == 0)] = (1, 0)
+    return off
+
+
+def _shift2d(img, dy: int, dx: int):
+    """img[y+dy, x+dx] with edge clamp — a dense slice, not a gather."""
+    H, W = img.shape[:2]
+    py0, py1 = max(dy, 0), max(-dy, 0)
+    px0, px1 = max(dx, 0), max(-dx, 0)
+    pad = ((py1, py0), (px1, px0)) + ((0, 0),) * (img.ndim - 2)
+    p = jnp.pad(img, pad, mode="edge")
+    return p[py0 : py0 + H, px0 : px0 + W]
+
+
+def compute_ssao_dense(
+    depth,  # [H,W]
+    normal_view,  # [H,W,3]
+    view_params,
+    settings: SsaoSettings,
+):
+    """TPU-native SSAO: fixed screen-space spiral taps = dense shifted
+    reads of the reconstructed position image (no gathers; the
+    reference's per-sample depth fetch is the one part of ssao.comp that
+    does not map to the VPU). Occlusion per tap: the 3D vector to the
+    neighbor's surface point must rise above the tangent plane (cosine
+    weight) within a range check — the same test as the hemisphere
+    method applied at deterministic taps. Returns [H,W] AO (1 = open).
+    """
+    H, W = depth.shape
+    pos = view_pos_from_depth(depth, view_params, W, H)
+    valid = depth > 0.0
+    n = normal_view
+
+    offs = _spiral_offsets(settings.samples, settings.pixel_radius)
+    # world-space range check radius: screen-constant taps sweep a
+    # depth-proportional world radius; clamp like the reference
+    radius = jnp.clip(
+        -pos[..., 2] * 0.1, settings.min_radius, settings.max_radius
+    )
+
+    occl = jnp.zeros((H, W))
+    wsum = 0.0
+    for k in range(settings.samples):
+        dy, dx = int(offs[k, 1]), int(offs[k, 0])
+        npos = _shift2d(pos, dy, dx)
+        v = npos - pos
+        d = jnp.linalg.norm(v, axis=-1)
+        d = jnp.maximum(d, 1e-6)
+        cosang = jnp.sum(v * n, axis=-1) / d
+        # range check: distant disocclusions contribute nothing
+        w = jnp.clip(radius / d, 0.0, 1.0)
+        occluded = (cosang > settings.bias + 0.1).astype(jnp.float32)
+        occl = occl + occluded * w
+        wsum += 1.0
+    ao = 1.0 - settings.strength * occl / wsum
     ao = jnp.clip(ao, 0.0, 1.0)
     ao = jnp.where(valid, ao, 1.0)
     return blur4x4(ao)

@@ -136,10 +136,13 @@ class PipelineConfig:
     # hardware samplers map to filter x wrap combinations here, plus the
     # ShadowComparison sampler (= passes/shadow VSM/PCSS filtering) and
     # the ReduceMin sampler (= cull/hiz min-mip atlas).
-    # KNOWN LIMITATION vs the reference: these are GLOBAL knobs, while
-    # the reference binds a SamplerKind per glTF texture
-    # (gltf_loader.rs:560-568) — a scene mixing clamp and repeat
-    # textures renders every texture with the one configured wrap.
+    # PER-TEXTURE samplers (gltf_loader.rs:559-569 parity): the fused
+    # "bilinear"/"trilinear" modes read each material's own wrap +
+    # filter (baked from the glTF samplers into GB_SAMPLER and the
+    # quad-table neighbors; one sampler per MATERIAL — its base-color
+    # texture's). texture_wrap is then only the bake-time default. The
+    # legacy op-by-op path ("aniso", or fused_shade=False) still applies
+    # these as global overrides.
     texture_filter: str = "nearest"  # nearest | bilinear | trilinear | aniso
     texture_wrap: str = "repeat"  # repeat | clamp | mirror
     max_aniso: int = 4  # probe budget for texture_filter="aniso"
@@ -182,6 +185,13 @@ class Pipeline:
         self.vis_total = total
         # winner-level alpha test in the rasterizer (MASKED materials)
         self.use_alpha = bool(getattr(assets_meta, "has_alpha_masks", False))
+        # slice the VMEM-resident mask atlas to the slots actually baked
+        # (capacity padding would waste raster-kernel VMEM)
+        from orbit_tpu.raster.kernel_common import ALPHA_MASK_RES
+
+        self.mask_rows = ALPHA_MASK_RES * int(
+            getattr(assets_meta, "num_mask_slots", 0) or 0
+        )
         # cull-stage alpha-mode filter (meshlet_cull.comp:207-213): with
         # TRANSPARENT materials in the store, the opaque G-buffer and
         # shadow passes draw only OPAQUE|MASKED meshlets
@@ -195,6 +205,13 @@ class Pipeline:
         return initial_state(
             self.scene_meta.entity_capacity, self.vis_total
         )
+
+    def _slice_masks(self, assets):
+        if self.use_alpha and 0 < self.mask_rows < assets.alpha_masks.shape[0]:
+            return replace(
+                assets, alpha_masks=assets.alpha_masks[: self.mask_rows]
+            )
+        return assets
 
     # ------------------------------------------------------------------
     def cull_and_raster(
@@ -217,6 +234,7 @@ class Pipeline:
         the rasterizer's native tile layout throughout (raster.layout).
         """
         cfg = self.config
+        assets = self._slice_masks(assets)
         W, H = cfg.width * cfg.supersample, cfg.height * cfg.supersample
         row_window = None
         if band is not None:
@@ -523,6 +541,11 @@ class Pipeline:
             tile_lights = (ids, cnt)
 
         emit_hdr = cfg.bloom is not None
+        ctex_mode = (
+            cfg.texture_filter
+            if cfg.texture_filter in ("bilinear", "trilinear")
+            else "nearest"
+        )
         res = shade_deferred_tiled(
             assets, scene, env, view, gb_t, depth_t,
             height=H, width=W, tile_h=th, tile_w=tw,
@@ -534,6 +557,7 @@ class Pipeline:
             vsm_sets=vsm_sets, vsm_slots=vsm_slots,
             vsm_settings=cfg.shadows if vsm_slots else None,
             tile_lights=tile_lights, emit_hdr=emit_hdr,
+            ctex_mode=ctex_mode,
         )
         hdr = None
         if emit_hdr:
@@ -608,14 +632,28 @@ class Pipeline:
         else:
             Hl, row0_px = H, 0
 
+        # the fused path covers nearest plus the filtered modes when the
+        # quad tables were baked (AssetStore.to_device(filter_tables=
+        # True)); filtered modes honor PER-MATERIAL samplers (wrap +
+        # filter from the glTF), so the global texture_wrap knob only
+        # gates the nearest path (where it must be the baked default)
+        filtered_ok = (
+            cfg.texture_filter in ("bilinear", "trilinear")
+            and assets.ctex_quad is not None
+        )
         use_fused = (
             cfg.fused_shade
             and band is None
             and cfg.render_mode == 0
             and env is not None
             and cfg.supersample == 1
-            and cfg.texture_filter == "nearest"
-            and cfg.texture_wrap == "repeat"
+            and (
+                (
+                    cfg.texture_filter == "nearest"
+                    and cfg.texture_wrap == "repeat"
+                )
+                or filtered_ok
+            )
             and cfg.env_filter == "nearest"
         )
         if use_fused:

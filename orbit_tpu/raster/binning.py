@@ -33,9 +33,8 @@ class BinLists:
     pair_tile: [P] i32 tile id per pair (pad: -1)
     tile_start/tile_count: [T] i32 range into pair_slot per tile
     overflow: [] bool — pair capacity exceeded this frame
-    pair_maxz: [P] f32 conservative nearest depth (early-z skip),
-    10-bit quantized (floor -> conservative) so both backends consume
-    the same value the Pallas kernel carries in its packed SMEM word
+    pair_maxz: [P] f32 EXACT conservative nearest depth (early-z skip;
+    both backends consume the same f32, regathered by slot post-sort)
     pair_qr: [P] i32 packed q0*4+q1 — the quarter-row chunks of the tile
     covered by the meshlet's bbox (rasterizer skips the others; pixels
     outside the bbox cannot be covered, so this is semantics-preserving
@@ -109,9 +108,12 @@ def bin_meshlets(
         mz_q = jnp.full((I,), 1023, jnp.int32)
         bucket = jnp.zeros((I,), jnp.int32)
     else:
-        # 10-bit quantized (floor -> conservative); both backends consume
-        # the same dequantized value so early-z skipping is bit-consistent
-        mz_q = jnp.floor(
+        # 10-bit quantized, rounded UP: the dequantized bound stays >= the
+        # true conservative max depth, so the early-z skip is EXACTLY
+        # lossless (a skipped pair provably cannot win a pixel; round-2's
+        # floor could drop winners within 1/1023 of the tile min). Both
+        # backends consume the same value so skipping is bit-consistent.
+        mz_q = jnp.ceil(
             jnp.clip(max_z.astype(jnp.float32), 0.0, 1.0) * 1023.0
         ).astype(jnp.int32)
         # front-to-back: nearest (largest reverse-Z bound) first
@@ -177,9 +179,6 @@ def bin_meshlets(
     in_range = sorted_key < n_tiles * 1024
     pair_slot = jnp.where(in_range, sorted_pay >> 14, -1)
     pair_qr = jnp.where(in_range, (sorted_pay >> 10) & 15, 0)
-    pair_maxz = jnp.where(
-        in_range, (sorted_pay & 1023).astype(jnp.float32) / 1023.0, 0.0
-    )
 
     # per-tile ranges via bincount + cumsum (no binary searches)
     per_tile = jnp.zeros((n_tiles,), jnp.int32).at[
@@ -224,12 +223,24 @@ def bin_meshlets(
         )
         pair_slot = (w_s >> 14) - 1
         pair_qr = jnp.where(pair_slot >= 0, (w_s >> 10) & 15, 0)
-        pair_maxz = jnp.where(
-            pair_slot >= 0, (w_s & 1023).astype(jnp.float32) / 1023.0, 0.0
-        )
         shift = cum_pad[jnp.clip(tile_start, 0, P - 1)]
         tile_start = jnp.minimum(tile_start + shift, P)
 
+    # EXACT f32 early-z bound per pair, regathered by slot after the
+    # sort (the sort payload only carries a 10-bit ORDERING bucket).
+    # Exactness matters both ways: round 2's floor-quantized bound
+    # wrongly dropped winners one bucket above the tile min (missing
+    # distant geometry), while a ceil-quantized bound cannot skip the
+    # ubiquitous same-depth ties and cost ~2x raster time at bench
+    # scale. skip iff maxz <= tile_min is lossless with the true value.
+    if max_z is None:
+        pair_maxz = jnp.where(pair_slot >= 0, 1.0, 0.0)
+    else:
+        pair_maxz = jnp.where(
+            pair_slot >= 0,
+            max_z.astype(jnp.float32)[jnp.maximum(pair_slot, 0)],
+            0.0,
+        )
     return BinLists(
         pair_slot=pair_slot,
         pair_tile=sorted_tile,

@@ -28,8 +28,13 @@ import jax.numpy as jnp
 class GeometryBuffers:
     """Per-frame geometry output, capacity = max visible meshlet instances.
 
-    setup:     [I, 64, 12] f32 (E0: ax,ay,c | E1 | E2 | Z: za,zb,zc),
-               pixel-space homogeneous; invalid tris get all-reject coeffs
+    setup:     [I, 12, 64] f32 (E0: ax,ay,c | E1 | E2 | Z: za,zb,zc on the
+               12 axis; 64 triangles on lanes), pixel-space homogeneous;
+               invalid tris get all-reject coeffs. Coefficient-major with
+               the 64-triangle axis minor so the forced row-major layout
+               of Pallas operands stays dense: a [*, 12]-minor array pads
+               its last dim to 128 lanes (10x HBM bloat, 32 KB DMA per
+               pair, and an ~8 ms/frame relayout copy at bench scale)
     tri_valid: [I, 64] bool
     bbox:      [I, 4] f32 screen-space meshlet bounds (minx,miny,maxx,maxy)
     inst_valid:[I] bool
@@ -118,8 +123,8 @@ def triangle_setup_corners(
     and depth is affine: z_ndc(p) = sum_i z_ci * E_i(p) / det.
 
     clip: [I,T,3,4] per-corner clip positions.
-    Returns (setup [I,T,12], edges (e0,e1,e2 flipped coeff triples),
-    valid [I,T], bbox [I,4], max_z [I]).
+    Returns (setup [I,12,T] coefficient-major, edges (e0,e1,e2 flipped
+    coeff triples), valid [I,T], bbox [I,4], max_z [I]).
     """
     w = clip[..., 3]  # [I,T,3]
     xh = (clip[..., 0] * 0.5 + 0.5 * w) * width
@@ -174,7 +179,7 @@ def triangle_setup_corners(
         jnp.where(valid, zb, 0.0),
         jnp.where(valid, zzc, neg_inf),
     ]
-    setup = jnp.stack(coefs, axis=-1)  # [I,T,12]
+    setup = jnp.stack(coefs, axis=1)  # [I,12,T]
 
     # meshlet screen bbox. Front corners (w >= eps) project normally. For
     # triangles crossing the near plane, the visible region is a wedge:

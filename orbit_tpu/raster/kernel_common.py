@@ -52,7 +52,8 @@ CA_ROUGHNESS = 40
 CA_MASK_SLOT = 41   # alpha-mask slot id (float, -1 = opaque)
 CA_CTEX = 42      # combined-texture layer id (float-encoded, -1 none)
 CA_MATID = 43     # material id (float-encoded, for debug modes)
-CA_CONST_ROWS = 12  # CA_BASE..CA_MATID, contiguous, == GB constant rows
+CA_SAMPLER = 44   # material sampler id (wrap | filter<<2, float-encoded)
+CA_CONST_ROWS = 13  # CA_BASE..CA_SAMPLER, contiguous, == GB constant rows
 CA_ROWS = 48      # padded to a multiple of 8 sublanes
 
 # G-buffer row layout emitted by the rasterizer, per tile
@@ -71,7 +72,8 @@ GB_ROUGHNESS = 21
 GB_MASK_SLOT = 22   # alpha-mask slot id (float, -1 = opaque)
 GB_CTEX = 23
 GB_MATID = 24
-GB_OVERDRAW = 25  # accumulated covering-fragment count (render mode 7)
+GB_SAMPLER = 25   # material sampler id (per-texture wrap/filter parity)
+GB_OVERDRAW = 26  # accumulated covering-fragment count (render mode 7)
 GB_ROWS = 32      # padded
 
 

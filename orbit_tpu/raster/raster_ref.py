@@ -10,19 +10,20 @@ from orbit_tpu.raster.kernel_common import VIS_TRI_BITS
 
 
 def rasterize_ref(setup, tri_valid, height, width):
-    """setup: [I, 64, 12] np array; tri_valid: [I, 64] bool.
+    """setup: [I, 12, 64] coefficient-major np array; tri_valid: [I, 64]
+    bool.
 
     Loops triangles; per-pixel edge eval over each triangle's bbox.
     Returns (depth [H,W] f32, vis [H,W] i32).
     """
     depth = np.zeros((height, width), np.float32)
     vis = np.zeros((height, width), np.int32)
-    I, T, _ = setup.shape
+    I, _, T = setup.shape
     for i in range(I):
         for t in range(T):
             if not tri_valid[i, t]:
                 continue
-            co = setup[i, t]
+            co = setup[i, :, t]
             # conservative bbox: evaluate over the full screen (slow but sure)
             ys = np.arange(height) + 0.5
             xs = np.arange(width) + 0.5

@@ -26,7 +26,8 @@ def rasterize_xla(
     init=None, vis_base_offset: int = 0, tile_row_offset=0,
     rows_per_view: int = 0,
 ):
-    """setup: [I, 64, 12]; returns (depth [H,W] f32, vis [H,W] i32).
+    """setup: [I, 12, 64] coefficient-major; returns (depth [H,W] f32,
+    vis [H,W] i32).
 
     init: optional (depth [H,W], vis [H,W]) to composite over (late
     occlusion pass). vis_base_offset shifts instance slots so two passes
@@ -71,7 +72,7 @@ def rasterize_xla(
         def body(k, carry):
             depth, vis, cur_min = carry
             slot = bins.pair_slot[start + k]
-            setup_m = setup_flat[slot].reshape(-1, 12)
+            setup_m = setup_flat[slot].reshape(12, -1).T
             vis_base = ((slot + vis_base_offset) << VIS_TRI_BITS) + 1
             # early-z skip (must mirror the Pallas kernel exactly): a pair
             # whose conservative nearest depth cannot beat the tile's
@@ -161,7 +162,7 @@ def rasterize_xla_depth_alpha(
         def body(k, carry):
             depth, vis, cur_min = carry
             slot = bins.pair_slot[start + k]
-            setup_m = setup_flat[slot].reshape(-1, 12)
+            setup_m = setup_flat[slot].reshape(12, -1).T
             attrs_m = attrs_flat[inst_mid[slot]].reshape(ac_rows, -1)
             vis_base = ((slot + vis_base_offset) << VIS_TRI_BITS) + 1
             active = bins.pair_maxz[start + k] > cur_min
@@ -212,7 +213,7 @@ def rasterize_xla_gbuffer(
 ):
     """G-buffer rasterizer (XLA fallback / differential reference).
 
-    setup: [I,64,12]; attrs: the asset-side corner-attr array tri_ac
+    setup: [I,12,64] coefficient-major; attrs: the asset-side corner-attr array tri_ac
     [M, CA_ROWS, 64]; inst_mid: [I] i32 meshlet id per instance slot.
     Returns (depth [H,W], vis [H,W], gbuf [GB_ROWS, H, W]).
     init: optional (depth, vis, gbuf) to composite over.
@@ -267,19 +268,29 @@ def rasterize_xla_gbuffer(
             t // ntx + tile_row_offset, t % ntx, tile_h, tile_w
         )
 
+        n_chunks = 4 if tile_h % 4 == 0 else 1
+        cpx = tpx // n_chunks
+
+        def seg_min(d):
+            return d.reshape(n_chunks, cpx).min(axis=1)
+
         def body(k, carry):
-            depth, vis, gb, cur_min = carry
+            depth, vis, gb, cur4 = carry
             slot = bins.pair_slot[start + k]
-            setup_m = setup_flat[slot].reshape(-1, 12)
+            setup_m = setup_flat[slot].reshape(12, -1).T
             attrs_m = attrs_flat[inst_mid[slot]].reshape(ac_rows, -1)
             vis_base = ((slot + vis_base_offset) << VIS_TRI_BITS) + 1
-            # early-z skip — mirrors the Pallas kernel; a skipped pair
-            # contributes nothing, including overdraw coverage
-            active = bins.pair_maxz[start + k] > cur_min
+            # early-z skip — mirrors the Pallas kernel's PER-CHUNK
+            # running mins exactly; a skipped pair (or chunk) contributes
+            # nothing, including overdraw coverage
+            maxz = bins.pair_maxz[start + k]
+            active = maxz > jnp.min(cur4)
             qr = bins.pair_qr[start + k]
             cr = tile_h // 4 if tile_h % 4 == 0 else tile_h
             row_l = jnp.arange(tpx, dtype=jnp.int32) // tile_w
             mask = (row_l >= (qr // 4) * cr) & (row_l < (qr % 4 + 1) * cr)
+            if n_chunks > 1:
+                mask = mask & (maxz > cur4[row_l // cr])
             ms = (
                 inst_mask_slot[slot] if inst_mask_slot is not None else None
             )
@@ -291,8 +302,7 @@ def rasterize_xla_gbuffer(
             nd = jnp.where(active, nd, depth)
             nv = jnp.where(active, nv, vis)
             ng = jnp.where(active, ng, gb)
-            cur_min = jnp.where(active, jnp.min(nd), cur_min)
-            return nd, nv, ng, cur_min
+            return nd, nv, ng, seg_min(nd)
 
         if init is None:
             c0 = (
@@ -303,7 +313,7 @@ def rasterize_xla_gbuffer(
         else:
             c0 = (init_d[t], init_v[t], init_g[:, t])
         depth, vis, gb, _ = jax.lax.fori_loop(
-            0, count, body, c0 + (jnp.min(c0[0]),)
+            0, count, body, c0 + (seg_min(c0[0]),)
         )
         return (
             depth.reshape(tile_h, tile_w),

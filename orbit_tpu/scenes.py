@@ -13,6 +13,8 @@ orbit_tpu.assets.gltf when available.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from orbit_tpu.assets import AssetCaps, AssetStore
@@ -257,7 +259,47 @@ def bistro_scene(buildings: int = 48, props: int = 220, seed: int = 2,
     return store, sb
 
 
+def _heap_cache(key: str, build_fn):
+    """Disk cache for slow host-side scene builds (meshletization is
+    minutes at XL scale; experiments rebuild identical scenes). Caches
+    the AssetStore heap + SceneBuilder fields under /tmp, keyed on the
+    build args + code-relevant capacities. Transparent: cache misses
+    build normally."""
+    import os
+    import pickle
+
+    path = os.path.join("/tmp", f"orbit_scene_{key}.pkl")
+    try:
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    except Exception:
+        pass
+    out = build_fn()
+    try:
+        with open(path + ".tmp", "wb") as f:
+            pickle.dump(out, f, protocol=4)
+        os.replace(path + ".tmp", path)
+    except Exception:
+        pass
+    return out
+
+
 def bistro_xl_scene(seed: int = 2, point_lights: int = 0):
+    if os.environ.get("ORBIT_SCENE_CACHE", "1") == "1":
+        import hashlib
+
+        from orbit_tpu.raster.kernel_common import CA_ROWS as _car
+
+        key = hashlib.sha1(
+            f"bistro_xl_{seed}_{point_lights}_{_car}_v2".encode()
+        ).hexdigest()[:16]
+        return _heap_cache(
+            key, lambda: _bistro_xl_scene_impl(seed, point_lights)
+        )
+    return _bistro_xl_scene_impl(seed, point_lights)
+
+
+def _bistro_xl_scene_impl(seed: int = 2, point_lights: int = 0):
     """Reference-class content: the XL street scene. Unique LOD0 geometry
     >= 1.2M triangles / ~20k meshlets (the reference Bistro exterior is
     ~3M tris); with the 0.8x LOD chains the asset store carries 60-80k

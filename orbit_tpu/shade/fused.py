@@ -40,6 +40,7 @@ from orbit_tpu.raster.kernel_common import (
     GB_NRM,
     GB_ROUGHNESS,
     GB_ROWS,
+    GB_SAMPLER,
     GB_TAN,
     GB_U,
     GB_V,
@@ -51,6 +52,10 @@ from orbit_tpu.shade.texture import size_from_atlas
 from orbit_tpu.assets.types import num_mips
 
 _GROUP = 8  # tiles per kernel block
+
+# 32-row tiles put ~12 MB of block groups in flight; raise the scoped-
+# VMEM ceiling above the 16 MB default (v5e has 128 MB VMEM)
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 # scalar-parameter layout (f32 SMEM vector)
 _P_IVP = 0  # inv(view_proj) row-major [16]
@@ -114,14 +119,18 @@ def _worldpos(P, depth, x, y, W, H):
     return ivp_row(0) / ww, ivp_row(1) / ww, ivp_row(2) / ww
 
 
-def _vsm_math(P, base, C, S, ldx, ldy, ldz, wx, wy, wz, ngx, ngy, ngz):
+def _vsm_math(
+    P, base, C, S, Sm, ldx, ldy, ldz, wx, wy, wz, ngx, ngy, ngz
+):
     """Cascade select + bias + moment-sample addressing for one
     directional light's VSM cascade set (passes/shadow.shadow_factor +
     sample_shadow_vsm re-expressed on component arrays; parity:
     forward.frag:406-445 cascade select + bias).
 
-    base: params offset of this light's VSM block. Returns
-    (addr, fx, fy, t, inside_any): addr indexes the packed [C*S*S, 8]
+    base: params offset of this light's VSM block. S: cascade render
+    resolution (drives the normal-offset bias texel size); Sm: moment-
+    table resolution (addressing; == S // vsm_moment_scale). Returns
+    (addr, fx, fy, t, inside_any): addr indexes the packed [C*Sm*Sm, 8]
     moment-quad table; the Chebyshev resolve happens where the gathered
     rows are available (_vsm_resolve)."""
 
@@ -185,13 +194,13 @@ def _vsm_math(P, base, C, S, ldx, ldy, ldz, wx, wy, wz, ngx, ngy, ngz):
     v = (by / w_) * -0.5 + 0.5
     t = 1.0 - bz / w_
 
-    x = jnp.clip(u * S - 0.5, 0.0, S - 1.0)
-    y = jnp.clip(v * S - 0.5, 0.0, S - 1.0)
+    x = jnp.clip(u * Sm - 0.5, 0.0, Sm - 1.0)
+    y = jnp.clip(v * Sm - 0.5, 0.0, Sm - 1.0)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     fx = x - x0.astype(jnp.float32)
     fy = y - y0.astype(jnp.float32)
-    addr = casc * (S * S) + y0 * S + x0
+    addr = casc * (Sm * Sm) + y0 * Sm + x0
     return addr, fx, fy, t, found
 
 
@@ -282,14 +291,15 @@ def _point_light_contrib(P, o, ctx):
 
 
 def _shade_core(
-    P, light_kinds, gbrow, depth, words, spec, x, y, W, H,
+    P, light_kinds, gbrow, depth, texch, spec, x, y, W, H,
     lit_map=None, ao_in=None, skip_points=False, tile_pts=None,
     vsm_fn=None,
 ):
     """The whole deferred shade on component arrays of one pixel block.
 
     P: scalar accessor (SMEM ref or traced array indexing); gbrow(r) ->
-    G-buffer channel array; words: 4 u32 arrays (combined texel);
+    G-buffer channel array; texch: SHADING-SPACE combined-texel channels
+    (_texch_nearest / _texch_filtered — sRGB already decoded);
     spec: 3 f32 arrays (prefiltered-env sample along reflection/camera
     rays); x/y: global pixel centers. Returns (r, g, b) HDR + background
     already composited (valid = depth > 0).
@@ -308,20 +318,19 @@ def _shade_core(
     # ---- material from G-buffer constants x combined texel
     layer = jnp.round(gbrow(GB_CTEX)).astype(jnp.int32)
     has = layer >= 0
-    tex = [_byte(words[k], b) for k in range(4) for b in range(4)]
 
     def mix(base_val, tex_val):
         return jnp.where(has, base_val * tex_val, base_val)
 
-    base_r = mix(gbrow(GB_BASE + 0), _srgb2lin(tex[0]))
-    base_g = mix(gbrow(GB_BASE + 1), _srgb2lin(tex[1]))
-    base_b = mix(gbrow(GB_BASE + 2), _srgb2lin(tex[2]))
-    metallic = mix(gbrow(GB_METALLIC), tex[6])
-    roughness = mix(gbrow(GB_ROUGHNESS), tex[7])
-    em_r = mix(gbrow(GB_EMISSIVE + 0), _srgb2lin(tex[8]))
-    em_g = mix(gbrow(GB_EMISSIVE + 1), _srgb2lin(tex[9]))
-    em_b = mix(gbrow(GB_EMISSIVE + 2), _srgb2lin(tex[10]))
-    ao = jnp.where(has, tex[11], 1.0)
+    base_r = mix(gbrow(GB_BASE + 0), texch["base_r"])
+    base_g = mix(gbrow(GB_BASE + 1), texch["base_g"])
+    base_b = mix(gbrow(GB_BASE + 2), texch["base_b"])
+    metallic = mix(gbrow(GB_METALLIC), texch["metallic"])
+    roughness = mix(gbrow(GB_ROUGHNESS), texch["roughness"])
+    em_r = mix(gbrow(GB_EMISSIVE + 0), texch["em_r"])
+    em_g = mix(gbrow(GB_EMISSIVE + 1), texch["em_g"])
+    em_b = mix(gbrow(GB_EMISSIVE + 2), texch["em_b"])
+    ao = jnp.where(has, texch["ao"], 1.0)
     if ao_in is not None:
         ao = jnp.minimum(ao, ao_in)
 
@@ -336,8 +345,8 @@ def _shade_core(
     bx = (ngy * ttz - ngz * tty) * tw
     by = (ngz * ttx - ngx * ttz) * tw
     bz = (ngx * tty - ngy * ttx) * tw
-    nt_x = tex[4] * 2.0 - 1.0
-    nt_y = tex[5] * 2.0 - 1.0
+    nt_x = texch["ntx"] * 2.0 - 1.0
+    nt_y = texch["nty"] * 2.0 - 1.0
     nt_z = jnp.sqrt(jnp.abs(1.0 - nt_x * nt_x - nt_y * nt_y))
     nmx, nmy, nmz = _rnorm3(
         ttx * nt_x + bx * nt_y + ngx * nt_z,
@@ -541,6 +550,132 @@ def _pack_params(
     return jnp.concatenate([jnp.asarray(p, jnp.float32) for p in parts])
 
 
+def _ctex_filter_coords(gbrow, tex_size, t4, mode):
+    """Filtered combined-texture sampling coordinates, honoring the
+    PER-MATERIAL sampler (GB_SAMPLER row: wrap | filter<<2 — reference
+    parity for per-texture SamplerKind binding, gltf_loader.rs:559-569).
+
+    mode: "bilinear" (one quad at the rounded mip) or "trilinear" (quads
+    at floor/ceil mips + mip blend). NEAREST-filter materials collapse to
+    the nearest texel of the rounded mip (fx = fy = fm = 0) inside the
+    same expressions. Returns (addrs, fracs): addrs = [addr_k] base-texel
+    indices into the ctex_quad tables (one per sampled mip), fracs =
+    (fx_k, fy_k lists, fm). Shared by the Pallas addr kernel and the
+    shade kernel (fractions recomputed bit-identically)."""
+    ts = jnp.float32(tex_size)
+    dx2 = (gbrow(GB_DUDX) ** 2 + gbrow(GB_DVDX) ** 2) * (ts * ts)
+    dy2 = (gbrow(GB_DUDY) ** 2 + gbrow(GB_DVDY) ** 2) * (ts * ts)
+    lod = 0.5 * jnp.log2(jnp.maximum(jnp.maximum(dx2, dy2), 1e-12))
+    n = num_mips(tex_size)
+    lod = jnp.clip(lod, 0.0, n - 1.0)
+    smp = jnp.round(gbrow(GB_SAMPLER)).astype(jnp.int32)
+    wrap = smp & 3
+    f_near = ((smp >> 2) & 1) == 1
+    layer = jnp.round(gbrow(GB_CTEX)).astype(jnp.int32)
+    safe_layer = jnp.maximum(layer, 0)
+
+    if mode == "bilinear":
+        ks = [jnp.round(lod).astype(jnp.int32)]
+        fm = None
+    else:
+        k0 = jnp.where(
+            f_near, jnp.round(lod), jnp.floor(lod)
+        ).astype(jnp.int32)
+        ks = [k0, jnp.minimum(k0 + 1, n - 1)]
+        fm = jnp.where(f_near, 0.0, lod - jnp.floor(lod))
+
+    u, v = gbrow(GB_U), gbrow(GB_V)
+
+    def wrap01(c):
+        rep = c - jnp.floor(c)
+        cl = jnp.clip(c, 0.0, 1.0)
+        mir = 1.0 - jnp.abs((c - 2.0 * jnp.floor(c * 0.5)) - 1.0)
+        return jnp.where(wrap == 0, rep, jnp.where(wrap == 1, cl, mir))
+
+    uw, vw = wrap01(u), wrap01(v)
+    addrs, fxs, fys = [], [], []
+    for k in ks:
+        off, size = _mip_offset_closed_form(tex_size, k)
+        fs = size.astype(jnp.float32)
+        # LINEAR: texel centers at -0.5; REPEAT's x0 = -1 wraps to
+        # size-1 whose baked quad neighbors are (0, ...) — seam-exact.
+        # NEAREST-filter materials take the plain nearest texel.
+        xl = uw * fs - 0.5
+        yl = vw * fs - 0.5
+        xl = jnp.where(wrap == 0, xl, jnp.clip(xl, 0.0, fs - 1.0))
+        yl = jnp.where(wrap == 0, yl, jnp.clip(yl, 0.0, fs - 1.0))
+        x0 = jnp.floor(xl).astype(jnp.int32)
+        y0 = jnp.floor(yl).astype(jnp.int32)
+        fx = jnp.where(f_near, 0.0, xl - x0.astype(jnp.float32))
+        fy = jnp.where(f_near, 0.0, yl - y0.astype(jnp.float32))
+        xn = jnp.clip(
+            jnp.floor(uw * fs).astype(jnp.int32), 0, size - 1
+        )
+        yn = jnp.clip(
+            jnp.floor(vw * fs).astype(jnp.int32), 0, size - 1
+        )
+        x0 = jnp.where(f_near, xn, jnp.where(x0 < 0, size - 1, x0))
+        y0 = jnp.where(f_near, yn, jnp.where(y0 < 0, size - 1, y0))
+        addrs.append(safe_layer * t4 + off + y0 * size + x0)
+        fxs.append(fx)
+        fys.append(fy)
+    return addrs, (fxs, fys, fm)
+
+
+def _blend_quad(q4, b, fx, fy, srgb=False):
+    """Bilinear blend of byte channel b over one gathered quad row
+    (4 u32 arrays: texel, right, down, down-right). sRGB channels decode
+    PER TEXEL before filtering (hardware sRGB-view semantics)."""
+    v = [_byte(t, b) for t in q4]
+    if srgb:
+        v = [_srgb2lin(x) for x in v]
+    top = v[0] * (1.0 - fx) + v[1] * fx
+    bot = v[2] * (1.0 - fx) + v[3] * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+# combined-texel channel plan: (word, byte, srgb) per shading channel
+_TEXCH_PLAN = dict(
+    base_r=(0, 0, True), base_g=(0, 1, True), base_b=(0, 2, True),
+    ntx=(1, 0, False), nty=(1, 1, False),
+    metallic=(1, 2, False), roughness=(1, 3, False),
+    em_r=(2, 0, True), em_g=(2, 1, True), em_b=(2, 2, True),
+    ao=(2, 3, False),
+)
+
+
+def _texch_nearest(words):
+    """Shading-space texel channels from the nearest-sampled combined
+    texel (words: 4 u32 arrays) — the original fused expressions, so the
+    nearest path stays bit-identical."""
+    out = {}
+    for name, (w, b, srgb) in _TEXCH_PLAN.items():
+        v = _byte(words[w], b)
+        out[name] = _srgb2lin(v) if srgb else v
+    return out
+
+
+def _texch_filtered(qrow, fracs):
+    """Shading-space texel channels from gathered quad rows.
+
+    qrow(m, j, t) -> u32 component array: mip m, word j, quad texel t.
+    fracs: (fxs, fys, fm) from _ctex_filter_coords."""
+    fxs, fys, fm = fracs
+    out = {}
+    for name, (w, b, srgb) in _TEXCH_PLAN.items():
+        mips = [
+            _blend_quad(
+                [qrow(m, w, t) for t in range(4)], b, fxs[m], fys[m],
+                srgb=srgb,
+            )
+            for m in range(len(fxs))
+        ]
+        out[name] = (
+            mips[0] if len(mips) == 1 else mips[0] * (1.0 - fm) + mips[1] * fm
+        )
+    return out
+
+
 def _ctex_addr_math(gbrow, tex_size, t4):
     """Nearest-mip combined-texture texel address from G-buffer rows
     (gbuffer.sample_ctex mode="nearest" parity). Component arrays."""
@@ -561,16 +696,19 @@ def _ctex_addr_math(gbrow, tex_size, t4):
 
 
 def _spec_addr_math(
-    P, gbrow, depth, w1, x, y, W, H, spec_size, spec_mips, t_env
+    P, gbrow, depth, tex_ntx, tex_nty, tex_rough, x, y, W, H,
+    spec_size, spec_mips, t_env
 ):
     """Prefiltered-env texel address (ibl.sample_specular "nearest"):
     shading-normal reflection ray on covered pixels, camera ray on
-    background. w1: u32 word 1 of the combined texel (normal xy, rough)."""
+    background. tex_ntx/nty/rough: the combined texel's normal-xy and
+    roughness-multiplier channels in [0,1] (nearest texel bytes, or the
+    filtered blends — the same channels the shade core consumes)."""
     valid = depth > 0.0
     layer = jnp.round(gbrow(GB_CTEX)).astype(jnp.int32)
     has = layer >= 0
-    nt_x = _byte(w1, 0) * 2.0 - 1.0
-    nt_y = _byte(w1, 1) * 2.0 - 1.0
+    nt_x = tex_ntx * 2.0 - 1.0
+    nt_y = tex_nty * 2.0 - 1.0
     nt_z = jnp.sqrt(jnp.abs(1.0 - nt_x * nt_x - nt_y * nt_y))
     ngx, ngy, ngz = _rnorm3(
         gbrow(GB_NRM), gbrow(GB_NRM + 1), gbrow(GB_NRM + 2)
@@ -615,7 +753,7 @@ def _spec_addr_math(
     rough = jnp.where(
         valid,
         jnp.where(
-            has, gbrow(GB_ROUGHNESS) * _byte(w1, 3), gbrow(GB_ROUGHNESS)
+            has, gbrow(GB_ROUGHNESS) * tex_rough, gbrow(GB_ROUGHNESS)
         ),
         0.0,
     )
@@ -656,7 +794,7 @@ def _spec_addr_math(
 
 
 def _vsm_addr_math(
-    P, gbrow, depth, x, y, W, H, slots, C, S, vsm_base
+    P, gbrow, depth, x, y, W, H, slots, C, S, Sm, vsm_base
 ):
     """Per-pixel moment-quad addresses for every shadowed dir light.
     Shared by the Pallas addr kernel and the XLA twin."""
@@ -669,7 +807,7 @@ def _vsm_addr_math(
         o = _P_LIGHT + s * _P_PER_LIGHT
         base = vsm_base + d * (17 * C + _P_PER_VSM_SCALARS)
         addr, _fx, _fy, _t, _ins = _vsm_math(
-            P, base, C, S, P(o), P(o + 1), P(o + 2),
+            P, base, C, S, Sm, P(o), P(o + 1), P(o + 2),
             wx, wy, wz, ngx, ngy, ngz,
         )
         outs.append(addr)
@@ -678,7 +816,7 @@ def _vsm_addr_math(
 
 def _vsm_addr_kernel(
     params_ref, gb_ref, depth_ref, out_ref,
-    *, ntx, tile_h, tile_w, W, H, slots, C, S, vsm_base,
+    *, ntx, tile_h, tile_w, W, H, slots, C, S, Sm, vsm_base,
 ):
     g = pl.program_id(0)
     tpx = tile_h * tile_w
@@ -689,14 +827,14 @@ def _vsm_addr_kernel(
     y = ((t // ntx) * tile_h + p_idx // tile_w).astype(jnp.float32) + 0.5
     addrs = _vsm_addr_math(
         lambda i: params_ref[i], lambda r: gb_ref[r], depth_ref[...],
-        x, y, W, H, slots, C, S, vsm_base,
+        x, y, W, H, slots, C, S, Sm, vsm_base,
     )
     for d, a in enumerate(addrs):
         out_ref[d] = a
 
 
 def _vsm_prepass(
-    params, gb_rows, depth_t, vsm_sets, slots, C, S, vsm_base,
+    params, gb_rows, depth_t, vsm_sets, slots, C, S, Sm, vsm_base,
     ntx, tile_h, tile_w, H, W, backend="xla", interpret=False,
 ):
     """Moment-quad gather planes for the shade kernel: address math in
@@ -709,14 +847,14 @@ def _vsm_prepass(
         x, y = _tile_coords(ntp, tpx, ntx, tile_h, tile_w)
         addrs = _vsm_addr_math(
             lambda i: params[i], lambda r: gb_rows[r], depth_t,
-            x, y, W, H, slots, C, S, vsm_base,
+            x, y, W, H, slots, C, S, Sm, vsm_base,
         )
         addr = jnp.stack(addrs)
     else:
         addr = pl.pallas_call(
             functools.partial(
                 _vsm_addr_kernel, ntx=ntx, tile_h=tile_h, tile_w=tile_w,
-                W=W, H=H, slots=slots, C=C, S=S, vsm_base=vsm_base,
+                W=W, H=H, slots=slots, C=C, S=S, Sm=Sm, vsm_base=vsm_base,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
@@ -733,6 +871,7 @@ def _vsm_prepass(
             ),
             out_shape=jax.ShapeDtypeStruct((nd, ntp, tpx), jnp.int32),
             interpret=interpret,
+            compiler_params=_COMPILER_PARAMS,
             name="vsm_addr",
         )(params, gb_rows, depth_t)
     quads = []
@@ -747,7 +886,7 @@ def _vsm_prepass(
     return jnp.concatenate(quads, axis=0)
 
 
-def _make_vsm_fn(P, q_row, slots, C, S, vsm_base):
+def _make_vsm_fn(P, q_row, slots, C, S, Sm, vsm_base):
     """vsm_fn for _shade_core: recomputes the (cheap) addressing math
     and resolves Chebyshev from the pre-gathered quad rows. q_row(k) ->
     the k-th of the nd*8 gathered component arrays."""
@@ -758,7 +897,7 @@ def _make_vsm_fn(P, q_row, slots, C, S, vsm_base):
             o = _P_LIGHT + s * _P_PER_LIGHT
             base = vsm_base + d * (17 * C + _P_PER_VSM_SCALARS)
             _addr, fx, fy, t, ins = _vsm_math(
-                P, base, C, S, P(o), P(o + 1), P(o + 2),
+                P, base, C, S, Sm, P(o), P(o + 1), P(o + 2),
                 wx, wy, wz, ngx, ngy, ngz,
             )
             q = [q_row(d * 8 + k) for k in range(8)]
@@ -784,9 +923,40 @@ def _ctex_addr_kernel(gb_ref, out_ref, *, tex_size, t4):
     out_ref[...] = _ctex_addr_math(lambda r: gb_ref[r], tex_size, t4)
 
 
+def _spec_w1_channels(gbrow, w1_source, tex_size, t4, ctex_mode):
+    """(tex_ntx, tex_nty, tex_rough) channels feeding the spec-addr math:
+    nearest texel bytes, or the filtered quad blends (the same channels
+    the shade core uses — the reflection ray sees the filtered normal).
+    w1_source: u32 w1 array (nearest) or qrow(m, t) accessor over the
+    word-1 quad planes (filtered)."""
+    if ctex_mode == "nearest":
+        w1 = w1_source
+        return _byte(w1, 0), _byte(w1, 1), _byte(w1, 3)
+    addrs, fracs = _ctex_filter_coords(gbrow, tex_size, t4, ctex_mode)
+    del addrs
+    qrow = w1_source
+
+    def ch(b):
+        fxs, fys, fm = fracs
+        mips = [
+            _blend_quad(
+                [qrow(m, t) for t in range(4)], b, fxs[m], fys[m]
+            )
+            for m in range(len(fxs))
+        ]
+        return (
+            mips[0]
+            if len(mips) == 1
+            else mips[0] * (1.0 - fm) + mips[1] * fm
+        )
+
+    return ch(0), ch(1), ch(3)
+
+
 def _spec_addr_kernel(
     params_ref, gb_ref, depth_ref, words1_ref, out_ref,
     *, ntx, tile_h, tile_w, W, H, spec_size, spec_mips, t_env,
+    tex_size=0, t4=0, ctex_mode="nearest",
 ):
     g = pl.program_id(0)
     tpx = tile_h * tile_w
@@ -795,62 +965,169 @@ def _spec_addr_kernel(
     t = g * _GROUP + s_idx
     x = ((t % ntx) * tile_w + p_idx % tile_w).astype(jnp.float32) + 0.5
     y = ((t // ntx) * tile_h + p_idx // tile_w).astype(jnp.float32) + 0.5
-    w1 = jax.lax.bitcast_convert_type(words1_ref[...], jnp.uint32)
+    if ctex_mode == "nearest":
+        src = jax.lax.bitcast_convert_type(words1_ref[...], jnp.uint32)
+    else:
+        # words1_ref: [n_mips*4, _GROUP, tpx] word-1 quad planes
+        def src(m, tq):
+            return jax.lax.bitcast_convert_type(
+                words1_ref[m * 4 + tq], jnp.uint32
+            )
+
+    ntx_ch, nty_ch, rough_ch = _spec_w1_channels(
+        lambda r: gb_ref[r], src, tex_size, t4, ctex_mode
+    )
     out_ref[...] = _spec_addr_math(
         lambda i: params_ref[i], lambda r: gb_ref[r], depth_ref[...],
-        w1, x, y, W, H, spec_size, spec_mips, t_env,
+        ntx_ch, nty_ch, rough_ch, x, y, W, H, spec_size, spec_mips, t_env,
     )
+
+
+def _ctex_filter_addr_kernel(gb_ref, out_ref, *, tex_size, t4, mode):
+    addrs, _ = _ctex_filter_coords(
+        lambda r: gb_ref[r], tex_size, t4, mode
+    )
+    for m, a in enumerate(addrs):
+        out_ref[m] = a
 
 
 def _prepass(
     assets, env, params, gb_rows, depth_t, ntx, tile_h, tile_w, H, W,
-    backend="xla", interpret=False,
+    backend="xla", interpret=False, ctex_mode="nearest",
 ):
-    """Per-pixel texel fetches: ONE combined-texture texel + ONE
-    prefiltered-env texel (nearest filtering — the bench path). The
-    address math runs in Pallas kernels; only the two HBM gathers remain
-    in XLA (random gathers cost ~5 ns/row however issued). Returns
-    (words [4, ntp, tpx] f32-carried texels, spec [4, ntp, tpx])."""
+    """Per-pixel texel fetches: the combined-texture sample + ONE
+    prefiltered-env texel. The address math runs in Pallas kernels; only
+    the HBM gathers remain in XLA (random gathers cost ~2-5 ns/row
+    however issued).
+
+    ctex_mode = "nearest": one texel gather; returns
+    (words [4, ntp, tpx] f32-carried texels, spec).
+    ctex_mode = "bilinear"/"trilinear": per-material samplers honored
+    (wrap + filter from GB_SAMPLER); gathers quad rows from the baked
+    ctex_quad tables (1 or 2 mips x 3 words); returns
+    (quads [n_mips*3*4, ntp, tpx] f32-carried, spec)."""
     ntp, tpx = depth_t.shape
     tex_size = size_from_atlas(assets.ctex_data.shape[1])
     t4 = assets.ctex_data.shape[1]
     t_env = env.spec_data.shape[1]
+    n_mips = {"nearest": 0, "bilinear": 1, "trilinear": 2}[ctex_mode]
+    if n_mips:
+        assert assets.ctex_quad is not None, (
+            "filtered ctex sampling needs AssetStore.to_device("
+            "filter_tables=True)"
+        )
 
     if backend == "xla":
         def gbrow(r):
             return gb_rows[r]
 
-        addr = _ctex_addr_math(gbrow, tex_size, t4)
-        words = assets.ctex_data.reshape(-1, 4)[addr]  # [ntp, tpx, 4]
         x, y = _tile_coords(ntp, tpx, ntx, tile_h, tile_w)
-        w1 = jax.lax.bitcast_convert_type(words[..., 1], jnp.uint32)
+        if ctex_mode == "nearest":
+            addr = _ctex_addr_math(gbrow, tex_size, t4)
+            words = assets.ctex_data.reshape(-1, 4)[addr]  # [ntp,tpx,4]
+            w1 = jax.lax.bitcast_convert_type(words[..., 1], jnp.uint32)
+            ntx_ch, nty_ch, rough_ch = _spec_w1_channels(
+                gbrow, w1, tex_size, t4, "nearest"
+            )
+            tex_planes = jnp.moveaxis(words, -1, 0)  # [4, ntp, tpx]
+        else:
+            addrs, _fr = _ctex_filter_coords(gbrow, tex_size, t4, ctex_mode)
+            planes = []
+            for a in addrs:
+                flat = a.reshape(-1)
+                for j in range(3):
+                    q = assets.ctex_quad[j][flat]  # [ntp*tpx, 4]
+                    planes.append(
+                        q.reshape(ntp, tpx, 4).transpose(2, 0, 1)
+                    )
+            tex_planes = jnp.concatenate(planes, axis=0)
+
+            def qrow_w1(m, tq, tex_planes=tex_planes):
+                return jax.lax.bitcast_convert_type(
+                    tex_planes[(m * 3 + 1) * 4 + tq], jnp.uint32
+                )
+
+            ntx_ch, nty_ch, rough_ch = _spec_w1_channels(
+                gbrow, qrow_w1, tex_size, t4, ctex_mode
+            )
         saddr = _spec_addr_math(
-            lambda i: params[i], gbrow, depth_t, w1, x, y, W, H,
+            lambda i: params[i], gbrow, depth_t,
+            ntx_ch, nty_ch, rough_ch, x, y, W, H,
             env.spec_size, env.spec_mips, t_env,
         )
     else:
-        addr = pl.pallas_call(
-            functools.partial(
-                _ctex_addr_kernel, tex_size=tex_size, t4=t4
-            ),
-            grid=(ntp // _GROUP,),
-            in_specs=[
-                pl.BlockSpec(
-                    (GB_ROWS, _GROUP, tpx), lambda g: (0, g, 0)
+        if ctex_mode == "nearest":
+            addr = pl.pallas_call(
+                functools.partial(
+                    _ctex_addr_kernel, tex_size=tex_size, t4=t4
                 ),
-            ],
-            out_specs=pl.BlockSpec((_GROUP, tpx), lambda g: (g, 0)),
-            out_shape=jax.ShapeDtypeStruct((ntp, tpx), jnp.int32),
-            interpret=interpret,
-            name="ctex_addr",
-        )(gb_rows)
-        words = assets.ctex_data.reshape(-1, 4)[addr]
-        words1 = words[..., 1]
+                grid=(ntp // _GROUP,),
+                in_specs=[
+                    pl.BlockSpec(
+                        (GB_ROWS, _GROUP, tpx), lambda g: (0, g, 0)
+                    ),
+                ],
+                out_specs=pl.BlockSpec((_GROUP, tpx), lambda g: (g, 0)),
+                out_shape=jax.ShapeDtypeStruct((ntp, tpx), jnp.int32),
+                interpret=interpret,
+                compiler_params=_COMPILER_PARAMS,
+                name="ctex_addr",
+            )(gb_rows)
+            words = assets.ctex_data.reshape(-1, 4)[addr]
+            tex_planes = jnp.moveaxis(words, -1, 0)
+            spec_src = words[..., 1]
+            spec_src_spec = pl.BlockSpec(
+                (_GROUP, tpx), lambda g, p: (g, 0)
+            )
+        else:
+            addrs = pl.pallas_call(
+                functools.partial(
+                    _ctex_filter_addr_kernel, tex_size=tex_size, t4=t4,
+                    mode=ctex_mode,
+                ),
+                grid=(ntp // _GROUP,),
+                in_specs=[
+                    pl.BlockSpec(
+                        (GB_ROWS, _GROUP, tpx), lambda g: (0, g, 0)
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (n_mips, _GROUP, tpx), lambda g: (0, g, 0)
+                ),
+                out_shape=jax.ShapeDtypeStruct(
+                    (n_mips, ntp, tpx), jnp.int32
+                ),
+                interpret=interpret,
+                compiler_params=_COMPILER_PARAMS,
+                name="ctex_addr",
+            )(gb_rows)
+            planes = []
+            for m in range(n_mips):
+                flat = addrs[m].reshape(-1)
+                for j in range(3):
+                    q = assets.ctex_quad[j][flat]
+                    planes.append(
+                        q.reshape(ntp, tpx, 4).transpose(2, 0, 1)
+                    )
+            tex_planes = jnp.concatenate(planes, axis=0)
+            # word-1 quad planes feed the spec-addr kernel's filtered
+            # normal/roughness (rows (m*3+1)*4 .. +4)
+            spec_src = jnp.concatenate(
+                [
+                    tex_planes[(m * 3 + 1) * 4 : (m * 3 + 1) * 4 + 4]
+                    for m in range(n_mips)
+                ],
+                axis=0,
+            )
+            spec_src_spec = pl.BlockSpec(
+                (n_mips * 4, _GROUP, tpx), lambda g, p: (0, g, 0)
+            )
         saddr = pl.pallas_call(
             functools.partial(
                 _spec_addr_kernel, ntx=ntx, tile_h=tile_h, tile_w=tile_w,
                 W=W, H=H, spec_size=env.spec_size,
                 spec_mips=env.spec_mips, t_env=t_env,
+                tex_size=tex_size, t4=t4, ctex_mode=ctex_mode,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
@@ -860,26 +1137,27 @@ def _prepass(
                         (GB_ROWS, _GROUP, tpx), lambda g, p: (0, g, 0)
                     ),
                     pl.BlockSpec((_GROUP, tpx), lambda g, p: (g, 0)),
-                    pl.BlockSpec((_GROUP, tpx), lambda g, p: (g, 0)),
+                    spec_src_spec,
                 ],
                 out_specs=pl.BlockSpec((_GROUP, tpx), lambda g, p: (g, 0)),
             ),
             out_shape=jax.ShapeDtypeStruct((ntp, tpx), jnp.int32),
             interpret=interpret,
+            compiler_params=_COMPILER_PARAMS,
             name="spec_addr",
-        )(params, gb_rows, depth_t, words1)
+        )(params, gb_rows, depth_t, spec_src)
 
     spec = env.spec_data.reshape(-1, env.spec_data.shape[-1])[saddr]
-    words_r = jnp.moveaxis(words, -1, 0)  # [4, ntp, tpx]
     spec_r = jnp.moveaxis(spec, -1, 0)  # [4, ntp, tpx]
-    return words_r, spec_r
+    return tex_planes, spec_r
 
 
 def _kernel(
     params_ref, *refs,
     ntx, tile_h, tile_w, W, H, light_kinds,
     lit_slots, has_ao, tl_cap, emit_hdr, point_slots=(),
-    vsm_slots=(), vsm_c=0, vsm_s=0, vsm_base=0,
+    vsm_slots=(), vsm_c=0, vsm_s=0, vsm_sm=0, vsm_base=0,
+    ctex_mode="nearest", tex_size=0, t4=0,
 ):
     refs = list(refs)
     tli_ref = tlc_ref = gpl_ref = None
@@ -906,10 +1184,22 @@ def _kernel(
     def gbrow(r):
         return gb_ref[r]
 
-    words = [
-        jax.lax.bitcast_convert_type(words_ref[k], jnp.uint32)
-        for k in range(4)
-    ]
+    if ctex_mode == "nearest":
+        words = [
+            jax.lax.bitcast_convert_type(words_ref[k], jnp.uint32)
+            for k in range(4)
+        ]
+        texch = _texch_nearest(words)
+    else:
+        _a, fracs = _ctex_filter_coords(gbrow, tex_size, t4, ctex_mode)
+        del _a
+
+        def qrow(m, jw, tq):
+            return jax.lax.bitcast_convert_type(
+                words_ref[(m * 3 + jw) * 4 + tq], jnp.uint32
+            )
+
+        texch = _texch_filtered(qrow, fracs)
     spec = [spec_ref[k] for k in range(3)]
     lit_map = (
         {slot: lit_ref[d] for d, slot in enumerate(lit_slots)}
@@ -966,13 +1256,14 @@ def _kernel(
 
     vsm_fn = (
         _make_vsm_fn(
-            P, lambda k: vsm_ref[k], vsm_slots, vsm_c, vsm_s, vsm_base
+            P, lambda k: vsm_ref[k], vsm_slots, vsm_c, vsm_s,
+            vsm_sm, vsm_base
         )
         if vsm_slots
         else None
     )
     r, g_, b = _shade_core(
-        P, light_kinds, gbrow, depth_ref[...], words, spec, x, y, W, H,
+        P, light_kinds, gbrow, depth_ref[...], texch, spec, x, y, W, H,
         lit_map=lit_map, ao_in=ao_in, skip_points=bool(tl_cap),
         tile_pts=tile_pts, vsm_fn=vsm_fn,
     )
@@ -1020,6 +1311,9 @@ def shade_deferred_tiled(
     emit_hdr: bool = False,  # output linear HDR tiles [ntp*4, tpx]
     #   (rows r,g,b,0 per tile) instead of tonemapped packed RGBA8 —
     #   the bloom path needs the HDR image
+    ctex_mode: str = "nearest",  # combined-texture filtering: nearest |
+    #   bilinear | trilinear — filtered modes honor the PER-MATERIAL
+    #   sampler (wrap + filter) and need assets.ctex_quad
 ):
     """Fused deferred shade + post. Returns packed RGBA8 [ntp, tpx] u32,
     or HDR tiles [ntp*4, tpx] f32 when emit_hdr."""
@@ -1042,17 +1336,22 @@ def shade_deferred_tiled(
     words_r, spec_r = _prepass(
         assets, env, params, gb_rows, depth_t, ntx, tile_h, tile_w,
         height, width, backend=backend, interpret=interpret,
+        ctex_mode=ctex_mode,
     )
+    tex_size = size_from_atlas(assets.ctex_data.shape[1])
+    t4_tex = assets.ctex_data.shape[1]
+    n_tex_rows = {"nearest": 4, "bilinear": 12, "trilinear": 24}[ctex_mode]
     vsm_t = None
-    vsm_c = vsm_s = 0
+    vsm_c = vsm_s = vsm_sm = 0
     vsm_base = _P_LIGHT + len(light_kinds) * _P_PER_LIGHT
     if vsm_slots:
         assert lit_t is None, "vsm_sets and lit_t are mutually exclusive"
         vsm_c = vsm_settings.cascade_count
         vsm_s = vsm_settings.resolution
+        vsm_sm = vsm_s // vsm_settings.vsm_moment_scale
         vsm_t = _vsm_prepass(
             params, gb_rows, depth_t, vsm_sets, vsm_slots, vsm_c, vsm_s,
-            vsm_base, ntx, tile_h, tile_w, height, width,
+            vsm_sm, vsm_base, ntx, tile_h, tile_w, height, width,
             backend=backend, interpret=interpret,
         )
     tl_cap = tile_lights[0].shape[1] if tile_lights is not None else 0
@@ -1066,10 +1365,24 @@ def shade_deferred_tiled(
         y = ((t_idx // ntx) * tile_h + p_idx // tile_w).astype(
             jnp.float32
         ) + 0.5
-        words = [
-            jax.lax.bitcast_convert_type(words_r[k], jnp.uint32)
-            for k in range(4)
-        ]
+        if ctex_mode == "nearest":
+            words = [
+                jax.lax.bitcast_convert_type(words_r[k], jnp.uint32)
+                for k in range(4)
+            ]
+            texch = _texch_nearest(words)
+        else:
+            _a, fracs = _ctex_filter_coords(
+                lambda r: gb_rows[r], tex_size, t4_tex, ctex_mode
+            )
+            del _a
+
+            def qrow(m, jw, tq):
+                return jax.lax.bitcast_convert_type(
+                    words_r[(m * 3 + jw) * 4 + tq], jnp.uint32
+                )
+
+            texch = _texch_filtered(qrow, fracs)
         spec = [spec_r[k] for k in range(3)]
         lit_map = (
             {s: lit_t[d] for d, s in enumerate(shadow_slots)}
@@ -1129,14 +1442,14 @@ def shade_deferred_tiled(
         vsm_fn = (
             _make_vsm_fn(
                 lambda i: params[i], lambda k: vsm_t[k],
-                vsm_slots, vsm_c, vsm_s, vsm_base,
+                vsm_slots, vsm_c, vsm_s, vsm_sm, vsm_base,
             )
             if vsm_slots
             else None
         )
         r, g, b = _shade_core(
             lambda i: params[i], light_kinds,
-            lambda rr: gb_rows[rr], depth_t, words, spec, x, y,
+            lambda rr: gb_rows[rr], depth_t, texch, spec, x, y,
             width, height,
             lit_map=lit_map, ao_in=ao_t, skip_points=bool(tl_cap),
             tile_pts=tile_pts, vsm_fn=vsm_fn,
@@ -1152,7 +1465,7 @@ def shade_deferred_tiled(
     in_specs = [
         pl.BlockSpec((GB_ROWS, _GROUP, tpx), lambda g, *p: (0, g, 0)),
         pl.BlockSpec((_GROUP, tpx), lambda g, *p: (g, 0)),
-        pl.BlockSpec((4, _GROUP, tpx), lambda g, *p: (0, g, 0)),
+        pl.BlockSpec((n_tex_rows, _GROUP, tpx), lambda g, *p: (0, g, 0)),
         pl.BlockSpec((4, _GROUP, tpx), lambda g, *p: (0, g, 0)),
     ]
     operands = [gb_rows, depth_t, words_r, spec_r]
@@ -1210,7 +1523,11 @@ def shade_deferred_tiled(
             vsm_slots=vsm_slots,
             vsm_c=vsm_c,
             vsm_s=vsm_s,
+            vsm_sm=vsm_sm,
             vsm_base=vsm_base,
+            ctex_mode=ctex_mode,
+            tex_size=tex_size,
+            t4=t4_tex,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(prefetch),
@@ -1220,7 +1537,8 @@ def shade_deferred_tiled(
         ),
         out_shape=out_shape,
         interpret=interpret,
-        name="shade_deferred",
+        compiler_params=_COMPILER_PARAMS,
+            name="shade_deferred",
     )(*prefetch, *operands)
     if emit_hdr:
         return out

@@ -101,6 +101,7 @@ def test_masked_cutout_in_color_and_depth(card):
     assert vis[26, 84] == 0
 
 
+@pytest.mark.slow
 def test_pallas_interpret_matches_xla_with_alpha(card):
     store, assets, ameta, scene, smeta = card
     view = make_perspective_view(
@@ -175,6 +176,7 @@ def _shadow_dark_area(alpha_mode):
     return dark, img
 
 
+@pytest.mark.slow
 def test_masked_shadow_has_hole(card):
     """Differential: an opaque card casts its full square shadow; the
     MASKED card's shadow shrinks to the disk (cutouts pass light through
@@ -190,6 +192,7 @@ def test_masked_shadow_has_hole(card):
     )
 
 
+@pytest.mark.slow
 def test_depth_alpha_matches_gbuffer_depth(card):
     """The cheap depth+alpha shadow rasterizer must produce the exact
     depth/vis the full G-buffer path produces (same winner, same alpha

@@ -71,6 +71,7 @@ def _render_n(world, cull_kw, frames=1):
     return out, state
 
 
+@pytest.mark.slow
 def test_culled_image_matches_unculled(world):
     out_off, _ = _render_n(
         world, dict(frustum=False, cone=False, occlusion=False)

@@ -14,6 +14,8 @@ from orbit_tpu.passes.debug_lines import (
 )
 from orbit_tpu.camera import make_perspective_view
 
+pytestmark = pytest.mark.slow  # full-pipeline/multichip lane
+
 
 def test_debug_lines_draw():
     W, H = 128, 96

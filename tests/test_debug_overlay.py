@@ -45,6 +45,7 @@ def _run(setup, debug, **kw):
     return out
 
 
+@pytest.mark.slow
 def test_overlays_change_the_image(setup):
     base = _run(setup, None)
     dbg = _run(
@@ -64,6 +65,7 @@ def test_overlays_change_the_image(setup):
     )
 
 
+@pytest.mark.slow
 def test_overlay_off_is_identity(setup):
     base = _run(setup, None)
     off = _run(setup, DebugSettings())  # all flags false -> 1 degenerate seg

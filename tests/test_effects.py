@@ -50,6 +50,7 @@ def _run(world, **cfg_kw):
     return out
 
 
+@pytest.mark.slow
 def test_clustered_lights_match_brute_force(world):
     """Clustered point-light shading must equal evaluating every light."""
     out_c = _run(world, clusters=ClusterSettings(tile_px=16, z_slices=8))
@@ -62,6 +63,7 @@ def test_clustered_lights_match_brute_force(world):
     assert (diff <= 12).mean() > 0.995, f"clustered != brute: {diff.mean()}"
 
 
+@pytest.mark.slow
 def test_full_effects_stack(world):
     out = _run(
         world,
@@ -76,6 +78,7 @@ def test_full_effects_stack(world):
     assert not bool(out["overflow"])
 
 
+@pytest.mark.slow
 def test_cluster_heatmap_mode(world):
     out = _run(
         world, clusters=ClusterSettings(tile_px=16, z_slices=8), render_mode=8

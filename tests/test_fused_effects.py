@@ -32,6 +32,8 @@ from orbit_tpu.scene import (
 )
 from orbit_tpu.shade import ibl as ibl_mod
 
+pytestmark = pytest.mark.slow  # full-pipeline/multichip lane
+
 
 def _untextured_scene(point_lights=12):
     """Floor + occluders + props, NO textures (shading normal ==

@@ -57,6 +57,7 @@ def setup():
     return cfg, run
 
 
+@pytest.mark.slow
 def test_fused_matches_legacy_shade(setup):
     cfg, run = setup
     out_f = run(cfg)  # fused_shade=True by default
@@ -80,6 +81,7 @@ def test_fused_matches_legacy_shade(setup):
     assert (d != 0).mean() < 0.25
 
 
+@pytest.mark.slow
 def test_fused_kernel_interpret_matches_xla_twin(setup):
     """The Pallas kernel logic (interpret mode) is bit-identical to the
     XLA twin — both run _shade_core on the same pre-gathered inputs."""

@@ -2,6 +2,7 @@
 a node hierarchy), load through the full pipeline, render."""
 
 import base64
+import os as _os
 import io
 import json
 import struct
@@ -249,3 +250,77 @@ def test_dds_bc_decode_exact():
     blk2 = _st.pack("<BB", 40, 200) + int(bits).to_bytes(6, "little")
     ch2 = dds_mod._bc4_channel(np.frombuffer(blk2, np.uint8).reshape(1, 8))
     assert ch2[0, 6] == 0 and ch2[0, 7] == 255
+
+
+def test_foreign_style_glb_loads_and_renders():
+    """The Blender-exporter-convention fixture (tools/make_foreign_glb:
+    per-attribute bufferViews, f32 texcoords, u32 indices, accessor
+    min/max, named nested node hierarchy under a rotated parent, an
+    unused camera node, per-texture samplers LINEAR/REPEAT vs
+    NEAREST/CLAMP) loads and renders — crossing the conventions our own
+    feature_test.glb writer uses, the closest available stand-in for a
+    foreign-authored file (no network in this environment)."""
+    import jax
+
+    from orbit_tpu.assets import procedural as proc
+    from orbit_tpu.assets.gltf import load_gltf
+    from orbit_tpu.assets.store import AssetStore
+    from orbit_tpu.assets.types import (
+        FILTER_LINEAR,
+        FILTER_NEAREST,
+        WRAP_CLAMP,
+        WRAP_REPEAT,
+    )
+    from orbit_tpu.camera import make_perspective_view
+    from orbit_tpu.pipeline import CullSettings, Pipeline, PipelineConfig
+    from orbit_tpu.raster import RasterConfig
+    from orbit_tpu.scene import LIGHT_SKY, SceneBuilder
+    from orbit_tpu.shade import ibl as ibl_mod
+
+    path = _os.path.join(
+        _os.path.dirname(__file__), "fixtures", "blender_style.glb"
+    )
+    store = AssetStore()
+    sb = SceneBuilder()
+    summary = load_gltf(path, store, sb)
+    assert summary["meshes"] == 2 and summary["entities"] == 3
+    # per-texture sampler state survived the import
+    assert store.h["tex_wrap"][0] == WRAP_REPEAT
+    assert store.h["tex_filter"][0] == FILTER_LINEAR
+    assert store.h["tex_wrap"][1] == WRAP_CLAMP
+    assert store.h["tex_filter"][1] == FILTER_NEAREST
+    # rotated-parent hierarchy baked into entity matrices
+    m1 = sb.matrices[1]
+    assert m1 is not None
+    np.testing.assert_allclose(
+        m1[:3, 3], [1.414, 0.05, -0.849], atol=2e-3
+    )
+
+    sb.add_light(LIGHT_SKY, intensity=1.0)
+    assets, ameta = store.to_device(filter_tables=True)
+    scene, smeta = sb.to_device()
+    env = ibl_mod.build_environment(
+        proc.gradient_envmap(32, 16), cube_res=16, irr_res=8,
+        spec_mips=2, spec_samples=8, brdf_res=16, brdf_samples=16,
+    )
+    W, H = 192, 120
+    view = make_perspective_view(
+        eye=(3.2, 2.2, 3.2), target=(0.0, 0.4, 0.0), aspect=W / H
+    )
+    cfg = PipelineConfig(
+        width=W, height=H,
+        raster=RasterConfig(backend="xla", pair_capacity=1 << 10),
+        cull=CullSettings(occlusion=False),
+        instance_capacity=1 << 8,
+        texture_filter="bilinear",
+    )
+    pipe = Pipeline(
+        cfg, ameta, smeta, store.h["mesh_lod_count"],
+        smeta.entity_mesh_host,
+    )
+    out, _ = jax.jit(
+        lambda st: pipe.frame(assets, scene, view, env, st, smeta.num_lights)
+    )(pipe.initial_state())
+    assert not bool(np.asarray(out["overflow"]))
+    vis = np.asarray(out["vis"])
+    assert (vis != 0).mean() > 0.12, "foreign scene drew too little"

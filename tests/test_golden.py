@@ -113,6 +113,7 @@ def test_golden_sponza():
     )
 
 
+@pytest.mark.slow
 def test_golden_bistro():
     store, sb = bistro_scene(buildings=16, props=60)
     _check("bistro", _render(store, sb, BENCH_CAMERAS["bistro"]))

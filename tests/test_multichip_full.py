@@ -18,6 +18,8 @@ from orbit_tpu.raster import RasterConfig, process_geometry, rasterize_gbuffer
 from orbit_tpu.renderer import static_instance_list
 from orbit_tpu.scenes import helmet_scene
 
+pytestmark = pytest.mark.slow  # full-pipeline/multichip lane
+
 
 @pytest.fixture(scope="module")
 def helmet():

@@ -75,3 +75,66 @@ def test_shadow_darkens_under_sphere():
     far_s = img_s[fy, fx].astype(int).sum()
     far_n = img_n[fy, fx].astype(int).sum()
     assert far_s > far_n * 0.7, f"lit ground got dark: {far_s} vs {far_n}"
+
+
+@pytest.mark.slow
+def test_vsm_matches_pcss_bistro_scale():
+    """VSM (the benched filter) agrees with PCSS (the reference's look,
+    forward.frag:81-171) on a BISTRO-SCALE frame with overlapping
+    casters — round-4 verdict asked for this beyond the small-scene
+    agreement check. Half-res moment tables included."""
+    import jax
+
+    from orbit_tpu.scenes import bistro_scene
+    from orbit_tpu.shade import ibl as ibl_mod
+
+    store, sb = bistro_scene(buildings=24, props=90)
+    assets, ameta = store.to_device()
+    scene, smeta = sb.to_device()
+    env = ibl_mod.build_environment(
+        proc.gradient_envmap(32, 16), cube_res=16, irr_res=8,
+        spec_mips=2, spec_samples=8, brdf_res=16, brdf_samples=16,
+    )
+    Wb, Hb = 320, 192
+    view = make_perspective_view(
+        eye=(-28.0, 2.0, 0.5), target=(10.0, 1.0, -0.5), aspect=Wb / Hb
+    )
+    imgs = {}
+    for filt, scale in (("pcss", 1), ("vsm", 1), ("vsm", 2)):
+        cfg = PipelineConfig(
+            width=Wb, height=Hb,
+            raster=RasterConfig(backend="xla", pair_capacity=1 << 14),
+            cull=CullSettings(occlusion=False),
+            instance_capacity=1 << 13,
+            shadows=ShadowSettings(
+                resolution=512, max_distance=50.0, cascade_count=3,
+                filter=filt, vsm_moment_scale=scale,
+                blocker_samples=6, pcf_samples=8,
+            ),
+        )
+        pipe = Pipeline(
+            cfg, ameta, smeta, store.h["mesh_lod_count"],
+            smeta.entity_mesh_host,
+        )
+        out, _ = jax.jit(
+            lambda st, p=pipe: p.frame(
+                assets, scene, view, env, st, smeta.num_lights
+            )
+        )(pipe.initial_state())
+        assert not bool(np.asarray(out["overflow"]))
+        imgs[(filt, scale)] = np.asarray(out["color"]).astype(np.int32)
+
+    pcss = imgs[("pcss", 1)]
+    for scale in (1, 2):
+        vsm = imgs[("vsm", scale)]
+        d = np.abs(vsm - pcss)
+        # same shadow layout: the filters differ in penumbra softness,
+        # so demand agreement in the aggregate, not per pixel
+        frac_big = (d.max(-1) > 40).mean()
+        assert d.mean() < 6.0 and frac_big < 0.06, (
+            f"vsm(scale={scale}) vs pcss: mean {d.mean():.2f}, "
+            f"frac>40 {frac_big:.4f}"
+        )
+    # half-res moments track full-res VSM closely
+    dh = np.abs(imgs[("vsm", 2)] - imgs[("vsm", 1)])
+    assert dh.mean() < 2.0, f"half-res moment drift {dh.mean():.2f}"

@@ -16,6 +16,8 @@ from orbit_tpu.pipeline import CullSettings, Pipeline, PipelineConfig
 from orbit_tpu.raster import RasterConfig
 from orbit_tpu.scene import LIGHT_DIRECTIONAL, LIGHT_SKY, SceneBuilder
 
+pytestmark = pytest.mark.slow  # full-pipeline/multichip lane
+
 
 def test_two_directional_lights_cast_disjoint_shadows():
     store = AssetStore(

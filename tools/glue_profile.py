@@ -70,6 +70,8 @@ def bucketize(evs):
             add("early_cull_geom_bin", name, dur)
         elif i < (min(late_set) if late_set else last_early + 1):
             add("hiz_late_cull_geom_bin", name, dur)
+        elif shadow_lo >= 0 and i < shadow_lo:
+            add("shadow_prep", name, dur)
         elif shadow_lo <= i <= shadow_hi:
             add("shadow_glue", name, dur)
         elif i < last_shade:

@@ -119,10 +119,15 @@ def frame_pass_times(run_fn):
             add("early_cull_geom_bin", dur)
         elif i < (min(late_set) if late_set else last_early + 1):
             add("hiz_late_cull_geom_bin", dur)
+        elif shadow_lo >= 0 and i < shadow_lo:
+            # cascade cull + expand + geometry + binning (everything
+            # between the late raster and the first cascade-atlas call)
+            add("shadow_prep", dur)
         elif shadow_lo <= i <= shadow_hi:
             add("shadow_glue", dur)
         elif i < last_shade:
-            # dominated by the two per-pixel texel gathers
+            # VSM moment prefilter, tile-light build, and the per-pixel
+            # texel gathers (ctex / prefiltered-env / VSM quads)
             add("shade_gathers_glue", dur)
         else:
             add("post_output", dur)
