@@ -22,7 +22,18 @@ def build(W=1920, H=1080, rbackend=None):
     """Construct the full north-star bench setup (scene, env, config,
     pipeline, camera). Shared by main() and every tools/ profiler so
     profiling always measures the SAME program the bench times."""
+    import os
+
     import jax
+
+    # persistent compile cache: the bench frame is a large program
+    # (~10 min cold compile through the tunnel); cache hits make
+    # repeat runs start in seconds
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/orbit_jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from orbit_tpu.assets import procedural as proc
     from orbit_tpu.camera import make_perspective_view

@@ -25,6 +25,11 @@ class RasterConfig:
     # grid+DMA machinery (measured with an empty kernel body). The pair
     # stream is padded so one step never spans two fb block groups.
     pairs_per_step: int = 8
+    # row chunks per tile (pixel phases run per chunk): more chunks =
+    # finer bbox/early-z skips and a smaller per-chunk live set — 8
+    # chunks keep 512-px phases at tile_h=32, which is what lets the
+    # G-buffer kernel use 32-row tiles without spilling VMEM
+    n_chunks: int = 4
 
     def resolve_backend(self) -> str:
         if self.backend != "auto":
@@ -63,13 +68,14 @@ def rasterize(
         row0=row0,
         num_rows=None if row_window is None else row_window[1],
         group_align=cfg.pairs_per_step,
+        n_chunks=cfg.n_chunks,
     )
     backend = cfg.resolve_backend()
     if backend == "xla":
         depth, vis = rasterize_xla(
             geom.setup, bins, local_h, width, cfg.tile_h, cfg.tile_w,
             init=init, vis_base_offset=vis_base_offset,
-            tile_row_offset=row0,
+            tile_row_offset=row0, n_chunks=cfg.n_chunks,
         )
     else:
         depth, vis = rasterize_pallas(
@@ -77,6 +83,7 @@ def rasterize(
             interpret=(backend == "pallas_interpret"),
             init=init, vis_base_offset=vis_base_offset,
             tile_row_offset=row0, pairs_per_step=cfg.pairs_per_step,
+            n_chunks=cfg.n_chunks,
         )
     return depth, vis, bins
 
@@ -111,6 +118,7 @@ def rasterize_depth_alpha(
         cfg.pair_capacity,
         max_z=geom.max_z,
         group_align=cfg.pairs_per_step,
+        n_chunks=cfg.n_chunks,
     )
     backend = cfg.resolve_backend()
     if backend == "xla":
@@ -119,6 +127,7 @@ def rasterize_depth_alpha(
             cfg.tile_h, cfg.tile_w, alpha_masks,
             geom.mask_slot, geom.inst_mid,
             init=init, vis_base_offset=vis_base_offset,
+            n_chunks=cfg.n_chunks,
         )
     else:
         depth, vis = rasterize_pallas_depth_alpha(
@@ -128,6 +137,7 @@ def rasterize_depth_alpha(
             interpret=(backend == "pallas_interpret"),
             init=init, vis_base_offset=vis_base_offset,
             pairs_per_step=cfg.pairs_per_step,
+            n_chunks=cfg.n_chunks,
         )
     return depth, vis, bins
 
@@ -217,6 +227,7 @@ def rasterize_depth_views(
                 bin_meshlets(
                     g.bbox, valid_of(g), S, S, th, tw, cap_list[v],
                     max_z=g.max_z, group_align=pack,
+                    n_chunks=cfg.n_chunks,
                 )
             )
             pair_bases.append(pb)
@@ -231,13 +242,15 @@ def rasterize_depth_views(
     H_atlas = V * nrows * th
     if backend == "xla":
         depth, vis = rasterize_xla(
-            setup_cat, obins, H_atlas, S, th, tw, rows_per_view=nrows
+            setup_cat, obins, H_atlas, S, th, tw, rows_per_view=nrows,
+            n_chunks=cfg.n_chunks,
         )
     else:
         depth, vis = rasterize_pallas(
             setup_cat, obins, H_atlas, S, th, tw,
             interpret=(backend == "pallas_interpret"),
             pairs_per_step=pack, rows_per_view=nrows,
+            n_chunks=cfg.n_chunks,
         )
     overflow = obins.overflow
 
@@ -252,6 +265,7 @@ def rasterize_depth_views(
                 setup_cat, tri_ac, mbins, H_atlas, S, th, tw,
                 alpha_masks, mask_cat, mid_cat,
                 init=(depth, vis), rows_per_view=nrows,
+                n_chunks=cfg.n_chunks,
             )
         else:
             depth, vis = _rp_alpha(
@@ -260,6 +274,7 @@ def rasterize_depth_views(
                 interpret=(backend == "pallas_interpret"),
                 init=(depth, vis), pairs_per_step=pack,
                 rows_per_view=nrows,
+                n_chunks=cfg.n_chunks,
             )
         ovf_masked = mbins.overflow
     else:
@@ -320,6 +335,7 @@ def rasterize_gbuffer(
         row0=row0,
         num_rows=None if row_window is None else row_window[1],
         group_align=cfg.pairs_per_step,
+        n_chunks=cfg.n_chunks,
     )
     backend = cfg.resolve_backend()
     if backend == "xla":
@@ -330,7 +346,7 @@ def rasterize_gbuffer(
             tile_row_offset=row0, tiled_io=tiled_io,
             alpha_masks=alpha_masks, inst_mask_slot=geom.mask_slot,
             inst_mid=geom.inst_mid, overdraw=overdraw,
-            a2c_samples=a2c_samples,
+            a2c_samples=a2c_samples, n_chunks=cfg.n_chunks,
         )
     else:
         depth, vis, gb = rasterize_pallas_gbuffer(
@@ -342,6 +358,6 @@ def rasterize_gbuffer(
             pairs_per_step=cfg.pairs_per_step,
             alpha_masks=alpha_masks, inst_mask_slot=geom.mask_slot,
             inst_mid=geom.inst_mid, overdraw=overdraw,
-            a2c_samples=a2c_samples,
+            a2c_samples=a2c_samples, n_chunks=cfg.n_chunks,
         )
     return depth, vis, gb, bins

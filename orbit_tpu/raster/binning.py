@@ -35,11 +35,12 @@ class BinLists:
     overflow: [] bool — pair capacity exceeded this frame
     pair_maxz: [P] f32 EXACT conservative nearest depth (early-z skip;
     both backends consume the same f32, regathered by slot post-sort)
-    pair_qr: [P] i32 packed q0*4+q1 — the quarter-row chunks of the tile
+    pair_qr: [P] i32 packed q0*n_chunks+q1 — the row chunks of the tile
     covered by the meshlet's bbox (rasterizer skips the others; pixels
     outside the bbox cannot be covered, so this is semantics-preserving
     and also suppresses FP-noise phantom fragments of sliver triangles
-    beyond their bbox rows)
+    beyond their bbox rows). n_chunks is the bin_meshlets argument and
+    must match the consuming kernel's chunk count.
     """
 
     pair_slot: jax.Array
@@ -54,6 +55,7 @@ class BinLists:
 def bin_meshlets(
     bbox, inst_valid, width, height, tile_h, tile_w, pair_capacity,
     max_z=None, row0=0, num_rows=None, group_align: int = 1,
+    n_chunks: int = 4,
 ) -> BinLists:
     """bbox: [I,4] screen bounds; inst_valid: [I] bool.
 
@@ -74,7 +76,12 @@ def bin_meshlets(
     of different 8-tile framebuffer groups never share a group_align-wide
     step — the Pallas rasterizer processes that many pairs per grid step
     with ONE framebuffer block group. Padding counts against
-    pair_capacity."""
+    pair_capacity.
+
+    n_chunks: row chunks per tile for pair_qr (must equal the consuming
+    kernel's chunk count; tile_h must divide evenly). More chunks =
+    finer bbox-row and early-z skipping and a smaller per-chunk live
+    set in the G-buffer kernel (what unlocks 32-row tiles)."""
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
     if num_rows is None:
@@ -105,27 +112,24 @@ def bin_meshlets(
     total = offsets[-1] + counts[-1] if counts.shape[0] > 0 else jnp.int32(0)
 
     if max_z is None:
-        mz_q = jnp.full((I,), 1023, jnp.int32)
         bucket = jnp.zeros((I,), jnp.int32)
     else:
-        # 10-bit quantized, rounded UP: the dequantized bound stays >= the
-        # true conservative max depth, so the early-z skip is EXACTLY
-        # lossless (a skipped pair provably cannot win a pixel; round-2's
-        # floor could drop winners within 1/1023 of the tile min). Both
-        # backends consume the same value so skipping is bit-consistent.
-        mz_q = jnp.ceil(
-            jnp.clip(max_z.astype(jnp.float32), 0.0, 1.0) * 1023.0
-        ).astype(jnp.int32)
-        # front-to-back: nearest (largest reverse-Z bound) first
+        # front-to-back sort bucket: nearest (largest reverse-Z bound)
+        # first. Only an ORDERING hint — the rasterizer's early-z skip
+        # consumes the EXACT f32 bound (pair_maxz, regathered by slot
+        # below), so quantization here cannot drop or miss winners.
         bucket = 1023 - jnp.round(
             jnp.clip(max_z.astype(jnp.float32), 0.0, 1.0) * 1023.0
         ).astype(jnp.int32)
 
-    # quarter-row chunk coordinates (global chunk rows of the bbox's
-    # vertical extent; per-pair qr derives exactly because tile bases are
-    # chunk-aligned: clip((y - ty*th)//cr) == clip(y//cr - ty*4))
-    if tile_h % 4 == 0:
-        cr = tile_h // 4
+    # row-chunk coordinates (global chunk rows of the bbox's vertical
+    # extent; per-pair qr derives exactly because tile bases are
+    # chunk-aligned: clip((y - ty*th)//cr) == clip(y//cr - ty*n_chunks)).
+    # Packed into ONE word, regathered by slot post-sort (like
+    # pair_maxz) — qr no longer rides the sort payload, which frees it
+    # from the packed word's bit budget and allows n_chunks > 4.
+    if n_chunks > 1 and tile_h % n_chunks == 0:
+        cr = tile_h // n_chunks
         y0c = jnp.floor(bbox[:, 1]).astype(jnp.int32) // cr
         y1c = (
             jnp.maximum(
@@ -134,16 +138,17 @@ def bin_meshlets(
             )
             // cr
         )
+        qword = y0c * 4096 + y1c  # chunk rows < 4096 at any target size
     else:
-        y0c = jnp.zeros((I,), jnp.int32)
-        y1c = jnp.zeros((I,), jnp.int32)
+        n_chunks = 1
+        qword = jnp.zeros((I,), jnp.int32)
 
     # ONE per-instance record -> ONE gather per pair (rows cost the same
     # as scalars on TPU)
     inst_rec = jnp.stack(
-        [offsets, tx0, ty0, jnp.maximum(span_x, 1), bucket, mz_q, y0c, y1c],
+        [offsets, tx0, ty0, jnp.maximum(span_x, 1), bucket],
         axis=1,
-    )  # [I, 8]
+    )  # [I, 5]
 
     p = jnp.arange(P, dtype=jnp.int32)
     # which meshlet does pair slot p belong to? scatter + cummax
@@ -153,7 +158,7 @@ def bin_meshlets(
         jnp.arange(I, dtype=jnp.int32), mode="drop"
     )
     slot = jnp.maximum(jax.lax.cummax(mark), 0)
-    rec = inst_rec[slot]  # [P, 8]
+    rec = inst_rec[slot]  # [P, 5]
     local = p - rec[:, 0]
     sx = rec[:, 3]
     tile_x = rec[:, 1] + local % sx
@@ -161,24 +166,14 @@ def bin_meshlets(
     tile = tile_y * ntx + tile_x
     pair_valid = p < total
 
-    if tile_h % 4 == 0:
-        base_c = (row0 + tile_y) * 4
-        q0 = jnp.clip(rec[:, 6] - base_c, 0, 3)
-        q1 = jnp.maximum(jnp.clip(rec[:, 7] - base_c, 0, 3), q0)
-        qr = q0 * 4 + q1
-    else:
-        qr = jnp.full((P,), 3, jnp.int32)  # q0=0, q1=3: full tile
-
-    # sort by (tile, depth bucket); invalid pairs to the end. The payload
-    # carries slot/qr/maxz packed in one word — no post-sort gathers.
+    # sort by (tile, depth bucket); invalid pairs to the end. The
+    # payload is just the slot — qr/maxz are regathered by slot after.
     key = jnp.where(pair_valid, tile * 1024 + rec[:, 4], n_tiles * 1024)
-    payload = (slot << 14) | (qr << 10) | rec[:, 5]
     sorted_key, sorted_pay = jax.lax.sort(
-        (key, payload), num_keys=1, is_stable=True
+        (key, slot), num_keys=1, is_stable=True
     )
     in_range = sorted_key < n_tiles * 1024
-    pair_slot = jnp.where(in_range, sorted_pay >> 14, -1)
-    pair_qr = jnp.where(in_range, (sorted_pay >> 10) & 15, 0)
+    pair_slot = jnp.where(in_range, sorted_pay, -1)
 
     # per-tile ranges via bincount + cumsum (no binary searches)
     per_tile = jnp.zeros((n_tiles,), jnp.int32).at[
@@ -213,21 +208,21 @@ def bin_meshlets(
         overflow = overflow | (last_new > P)
         tgt = jnp.where(in_range, new_idx, P)
 
-        # TWO packed scatters instead of four: (slot+1 | qr | mz) + tile
-        word = (((sorted_pay >> 14) + 1) << 14) | (sorted_pay & 0x3FFF)
-        w_s = jnp.zeros((P,), jnp.int32).at[tgt].set(word, mode="drop")
+        # TWO packed scatters: (slot+1) + tile
+        w_s = jnp.zeros((P,), jnp.int32).at[tgt].set(
+            sorted_pay + 1, mode="drop"
+        )
         sorted_tile = (
             jnp.full((P,), -1, jnp.int32).at[tgt].set(
                 sorted_tile, mode="drop"
             )
         )
-        pair_slot = (w_s >> 14) - 1
-        pair_qr = jnp.where(pair_slot >= 0, (w_s >> 10) & 15, 0)
+        pair_slot = w_s - 1
         shift = cum_pad[jnp.clip(tile_start, 0, P - 1)]
         tile_start = jnp.minimum(tile_start + shift, P)
 
     # EXACT f32 early-z bound per pair, regathered by slot after the
-    # sort (the sort payload only carries a 10-bit ORDERING bucket).
+    # sort (the sort key only carries a 10-bit ORDERING bucket).
     # Exactness matters both ways: round 2's floor-quantized bound
     # wrongly dropped winners one bucket above the tile min (missing
     # distant geometry), while a ceil-quantized bound cannot skip the
@@ -241,6 +236,17 @@ def bin_meshlets(
             max_z.astype(jnp.float32)[jnp.maximum(pair_slot, 0)],
             0.0,
         )
+
+    # per-pair chunk range, regathered by slot (chunk rows of the bbox
+    # clipped to the pair's own tile row — exact, see qword above)
+    if n_chunks > 1:
+        qw = qword[jnp.maximum(pair_slot, 0)]
+        base_c = (row0 + jnp.maximum(sorted_tile, 0) // ntx) * n_chunks
+        q0 = jnp.clip(qw // 4096 - base_c, 0, n_chunks - 1)
+        q1 = jnp.maximum(jnp.clip(qw % 4096 - base_c, 0, n_chunks - 1), q0)
+        pair_qr = jnp.where(pair_slot >= 0, q0 * n_chunks + q1, 0)
+    else:
+        pair_qr = jnp.zeros((P,), jnp.int32)
     return BinLists(
         pair_slot=pair_slot,
         pair_tile=sorted_tile,

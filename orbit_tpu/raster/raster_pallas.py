@@ -94,9 +94,9 @@ def _pair_meta(bins: BinLists, P: int, inst_mask_slot=None):
     """Pack per-pair scalars into TWO SMEM arrays (prefetch SMEM is 1 MB;
     at 64k-pair capacity every word counts):
       meta = slot<<3 | first_tile<<2 | first_group<<1 | valid
-      tq   = forward-filled tile | qr<<18 | maxz_q<<22  (padding pairs
-             revisit the last real tile so the out-block index stays
-             put; maxz_q is the binner's 10-bit quantized early-z bound)
+      tq   = forward-filled tile | qr<<18  (padding pairs revisit the
+             last real tile so the out-block index stays put; qr is the
+             packed q0*n_chunks+q1 chunk range, up to 6 bits)
     """
     pvalid = bins.pair_tile >= 0
     filled_tile = jax.lax.cummax(jnp.where(pvalid, bins.pair_tile, -1))
@@ -128,13 +128,15 @@ def _pair_meta(bins: BinLists, P: int, inst_mask_slot=None):
 def _kernel(
     meta_ref, tq_ref, maxz_ref, pslot_ref, rowoff_ref, *refs,
     tile_h, tile_w, ntx, vis_base_offset, pack, rows_per_view=0,
+    n_chunks=4,
 ):
     # refs: pack setup blocks, init_d, init_v (aliased), depth, vis, scratch
     setup_refs = refs[:pack]
     depth_ref, vis_ref, cur_min_ref = refs[pack + 2], refs[pack + 3], refs[pack + 4]
     p = pl.program_id(0)
     tpx = tile_h * tile_w
-    n_chunks = 4 if tile_h % 4 == 0 else 1
+    if tile_h % n_chunks:
+        n_chunks = 1
     cpx = tpx // n_chunks
     rows_per_chunk = tile_h // n_chunks
 
@@ -183,9 +185,9 @@ def _kernel(
         @pl.when(active)
         def _(j=j, m=m, tq=tq, r=r, maxz=maxz):
             slot = m >> 3
-            qr = (tq >> 18) & 15
-            q0 = qr // 4
-            q1 = qr % 4
+            qr = (tq >> 18) & 63
+            q0 = qr // n_chunks
+            q1 = qr % n_chunks
             # rows_per_view: atlas raster of several stacked views
             # (shadow cascades) — edge functionals are in each view's
             # own pixel space, so ty is the view-LOCAL tile row (exact
@@ -270,6 +272,7 @@ def rasterize_pallas(
     pairs_per_step: int = 1,
     rows_per_view: int = 0,
     tiled_io: bool = False,
+    n_chunks: int = 4,
 ):
     """setup: [I, 12, 64] f32 (coefficient-major). Returns (depth [H,W] f32, vis [H,W] i32).
 
@@ -318,6 +321,8 @@ def rasterize_pallas(
 
     rowoff = jnp.full((1,), tile_row_offset, jnp.int32)
     pack = pairs_per_step
+    if tile_h % n_chunks:
+        n_chunks = 1
 
     fb_spec = pl.BlockSpec(
         (_GROUP, tpx),
@@ -357,7 +362,7 @@ def rasterize_pallas(
             grid=(chunk // pack,),
             in_specs=setup_specs + [fb_spec, fb_spec],
             out_specs=[fb_spec, fb_spec],
-            scratch_shapes=[pltpu.SMEM((1, 4), jnp.float32)],
+            scratch_shapes=[pltpu.SMEM((1, max(n_chunks, 1)), jnp.float32)],
         )
         # per-chunk metadata: each call's first pair of a tile re-reads
         # the running tile min (the cur_min scratch starts cold per call)
@@ -372,6 +377,7 @@ def rasterize_pallas(
                 vis_base_offset=vis_base_offset,
                 pack=pack,
                 rows_per_view=rows_per_view,
+                n_chunks=n_chunks,
             ),
             grid_spec=grid_spec,
             out_shape=[
@@ -394,6 +400,7 @@ def rasterize_pallas(
 def _depth_alpha_kernel(
     meta_ref, tq_ref, maxz_ref, pslot_ref, pmid_ref, rowoff_ref, *refs,
     tile_h, tile_w, ntx, vis_base_offset, pack, rows_per_view=0,
+    n_chunks=4,
 ):
     """Depth-only raster with the winner-level alpha test: the shadow-
     cascade path for MASKED materials. The alpha test is evaluated
@@ -407,7 +414,8 @@ def _depth_alpha_kernel(
     del _i1, _i2  # aliased to depth/vis (in-place update)
     p = pl.program_id(0)
     tpx = tile_h * tile_w
-    n_chunks = 4 if tile_h % 4 == 0 else 1
+    if tile_h % n_chunks:
+        n_chunks = 1
     cpx = tpx // n_chunks
     rows_per_chunk = tile_h // n_chunks
 
@@ -442,9 +450,9 @@ def _depth_alpha_kernel(
         # early-z-skipped pairs cost only the decode above
         @pl.when(active)
         def _(j=j, tq=tq, r=r, maxz=maxz, slot=slot, mslot=mslot):
-            qr = (tq >> 18) & 15
-            q0 = qr // 4
-            q1 = qr % 4
+            qr = (tq >> 18) & 63
+            q0 = qr // n_chunks
+            q1 = qr % n_chunks
             if rows_per_view:  # stacked-view atlas: view-local tile row
                 ty = ((tile // ntx) % rows_per_view).astype(jnp.float32)
             else:
@@ -587,6 +595,7 @@ def rasterize_pallas_depth_alpha(
     pairs_per_step: int = 1,
     rows_per_view: int = 0,
     tiled_io: bool = False,
+    n_chunks: int = 4,
 ):
     """Depth+alpha rasterizer (see _depth_alpha_kernel). Returns
     (depth [H,W] f32, vis [H,W] i32). rows_per_view/tiled_io: see
@@ -628,6 +637,8 @@ def rasterize_pallas_depth_alpha(
 
     rowoff = jnp.full((1,), tile_row_offset, jnp.int32)
     pack = pairs_per_step
+    if tile_h % n_chunks:
+        n_chunks = 1
 
     fb_spec = pl.BlockSpec(
         (_GROUP, tpx),
@@ -678,7 +689,7 @@ def rasterize_pallas_depth_alpha(
             grid=(chunk // pack,),
             in_specs=in_specs,
             out_specs=[fb_spec, fb_spec],
-            scratch_shapes=[pltpu.SMEM((1, 4), jnp.float32)],
+            scratch_shapes=[pltpu.SMEM((1, max(n_chunks, 1)), jnp.float32)],
         )
         meta, tq, maxz = _pair_meta(
             _slice_bins(bins, s), chunk, inst_mask_slot=inst_mask_slot
@@ -701,6 +712,7 @@ def rasterize_pallas_depth_alpha(
                 vis_base_offset=vis_base_offset,
                 pack=pack,
                 rows_per_view=rows_per_view,
+                n_chunks=n_chunks,
             ),
             grid_spec=grid_spec,
             out_shape=[
@@ -724,7 +736,7 @@ def rasterize_pallas_depth_alpha(
 def _gbuffer_kernel(
     meta_ref, tq_ref, maxz_ref, pslot_ref, pmid_ref, rowoff_ref, *refs,
     tile_h, tile_w, ntx, vis_base_offset, pack, use_alpha, overdraw,
-    a2c_samples=1,
+    a2c_samples=1, n_chunks=4,
 ):
     setup_refs = refs[:pack]
     attrs_refs = refs[pack : 2 * pack]
@@ -739,7 +751,8 @@ def _gbuffer_kernel(
     del _i1, _i2, _i3  # aliased to depth/vis/gb (in-place update)
     p = pl.program_id(0)
     tpx = tile_h * tile_w
-    n_chunks = 4 if tile_h % 4 == 0 else 1
+    if tile_h % n_chunks:
+        n_chunks = 1
     cpx = tpx // n_chunks
     rows_per_chunk = tile_h // n_chunks
 
@@ -782,9 +795,9 @@ def _gbuffer_kernel(
         # early-z-skipped pairs cost only the decode above
         @pl.when(active)
         def _(j=j, tq=tq, r=r, maxz=maxz, slot=slot, mslot=mslot):
-            qr = (tq >> 18) & 15
-            q0 = qr // 4
-            q1 = qr % 4
+            qr = (tq >> 18) & 63
+            q0 = qr // n_chunks
+            q1 = qr % n_chunks
             ty = (tile // ntx + rowoff_ref[0]).astype(jnp.float32)
             tx = (tile % ntx).astype(jnp.float32)
             st = setup_refs[j][0]  # [12, 64] (in-kernel gather by pair slot)
@@ -972,10 +985,6 @@ def _gbuffer_kernel(
                                 )
                                 commit(win & ok)
 
-            @pl.when(active)
-            def _(r=r):
-                cur_min_ref[0, 0] = jnp.min(depth_ref[pl.ds(r, 1), :])
-
 
 def rasterize_pallas_gbuffer(
     setup,
@@ -996,6 +1005,7 @@ def rasterize_pallas_gbuffer(
     inst_mid=None,
     overdraw=True,
     a2c_samples=1,
+    n_chunks: int = 4,
 ):
     """G-buffer rasterizer. setup: [I,12,64] coefficient-major; attrs: the ASSET-side
     corner-attr array tri_ac [M, CA_ROWS, 64] (baked once at load),
@@ -1054,6 +1064,8 @@ def rasterize_pallas_gbuffer(
 
     rowoff = jnp.full((1,), tile_row_offset, jnp.int32)
     pack = pairs_per_step
+    if tile_h % n_chunks:
+        n_chunks = 1
     assert P % pack == 0, f"pair capacity {P} not divisible by {pack}"
     use_alpha = alpha_masks is not None
 
@@ -1120,7 +1132,7 @@ def rasterize_pallas_gbuffer(
         grid=(chunk // pack,),
         in_specs=in_specs,
         out_specs=[fb_spec, fb_spec, gb_spec],
-        scratch_shapes=[pltpu.SMEM((1, 4), jnp.float32)],
+        scratch_shapes=[pltpu.SMEM((1, max(n_chunks, 1)), jnp.float32)],
     )
 
     if inst_mid is None:
@@ -1151,6 +1163,7 @@ def rasterize_pallas_gbuffer(
                 use_alpha=use_alpha,
                 overdraw=overdraw,
                 a2c_samples=a2c_samples,
+                n_chunks=n_chunks,
             ),
             grid_spec=grid_spec,
             out_shape=[

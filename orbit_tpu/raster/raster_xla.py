@@ -24,7 +24,7 @@ from orbit_tpu.raster.kernel_common import (
 def rasterize_xla(
     setup, bins: BinLists, height, width, tile_h, tile_w,
     init=None, vis_base_offset: int = 0, tile_row_offset=0,
-    rows_per_view: int = 0,
+    rows_per_view: int = 0, n_chunks: int = 4,
 ):
     """setup: [I, 12, 64] coefficient-major; returns (depth [H,W] f32,
     vis [H,W] i32).
@@ -42,6 +42,7 @@ def rasterize_xla(
     nty = -(-height // tile_h)
     n_tiles = ntx * nty
     tpx = tile_h * tile_w
+    nc = n_chunks if (n_chunks > 1 and tile_h % n_chunks == 0) else 1
     setup_flat = setup.reshape(setup.shape[0], -1)
 
     if init is not None:
@@ -80,9 +81,9 @@ def rasterize_xla(
             active = bins.pair_maxz[start + k] > cur_min
             # quarter-row bbox mask (mirrors the kernel's chunk skip)
             qr = bins.pair_qr[start + k]
-            cr = tile_h // 4 if tile_h % 4 == 0 else tile_h
+            cr = tile_h // nc
             row_l = jnp.arange(tpx, dtype=jnp.int32) // tile_w
-            mask = (row_l >= (qr // 4) * cr) & (row_l < (qr % 4 + 1) * cr)
+            mask = (row_l >= (qr // nc) * cr) & (row_l < (qr % nc + 1) * cr)
             nd, nv = raster_meshlet_on_tile(
                 setup_m, vis_base, xs, ys, depth, vis, pix_mask=mask
             )
@@ -120,7 +121,7 @@ def rasterize_xla_depth_alpha(
     setup, attrs, bins: BinLists, height, width, tile_h, tile_w,
     alpha_masks, inst_mask_slot, inst_mid,
     init=None, vis_base_offset: int = 0, tile_row_offset=0,
-    rows_per_view: int = 0,
+    rows_per_view: int = 0, n_chunks: int = 4,
 ):
     """Depth+alpha rasterizer, XLA twin of rasterize_pallas_depth_alpha
     (shadow cascades of MASKED materials). Returns (depth, vis)."""
@@ -128,6 +129,7 @@ def rasterize_xla_depth_alpha(
     nty = -(-height // tile_h)
     n_tiles = ntx * nty
     tpx = tile_h * tile_w
+    nc = n_chunks if (n_chunks > 1 and tile_h % n_chunks == 0) else 1
     setup_flat = setup.reshape(setup.shape[0], -1)
     from orbit_tpu.raster.kernel_common import CA_ROWS as _ACR
 
@@ -167,9 +169,9 @@ def rasterize_xla_depth_alpha(
             vis_base = ((slot + vis_base_offset) << VIS_TRI_BITS) + 1
             active = bins.pair_maxz[start + k] > cur_min
             qr = bins.pair_qr[start + k]
-            cr = tile_h // 4 if tile_h % 4 == 0 else tile_h
+            cr = tile_h // nc
             row_l = jnp.arange(tpx, dtype=jnp.int32) // tile_w
-            mask = (row_l >= (qr // 4) * cr) & (row_l < (qr % 4 + 1) * cr)
+            mask = (row_l >= (qr // nc) * cr) & (row_l < (qr % nc + 1) * cr)
             nd, nv = raster_meshlet_depth_alpha(
                 setup_m, attrs_m, vis_base, xs, ys, depth, vis,
                 pix_mask=mask, alpha_masks=alpha_masks,
@@ -209,7 +211,7 @@ def rasterize_xla_gbuffer(
     setup, attrs, bins: BinLists, height, width, tile_h, tile_w,
     init=None, vis_base_offset: int = 0, tile_row_offset=0,
     tiled_io: bool = False, alpha_masks=None, inst_mask_slot=None,
-    inst_mid=None, overdraw=True, a2c_samples=1,
+    inst_mid=None, overdraw=True, a2c_samples=1, n_chunks: int = 4,
 ):
     """G-buffer rasterizer (XLA fallback / differential reference).
 
@@ -227,6 +229,7 @@ def rasterize_xla_gbuffer(
     n_tiles = ntx * nty
     n_tiles_pad = -(-n_tiles // GROUP) * GROUP
     tpx = tile_h * tile_w
+    nc = n_chunks if (n_chunks > 1 and tile_h % n_chunks == 0) else 1
     setup_flat = setup.reshape(setup.shape[0], -1)
     from orbit_tpu.raster.kernel_common import CA_ROWS as _ACR
 
@@ -268,11 +271,10 @@ def rasterize_xla_gbuffer(
             t // ntx + tile_row_offset, t % ntx, tile_h, tile_w
         )
 
-        n_chunks = 4 if tile_h % 4 == 0 else 1
-        cpx = tpx // n_chunks
+        cpx = tpx // nc
 
         def seg_min(d):
-            return d.reshape(n_chunks, cpx).min(axis=1)
+            return d.reshape(nc, cpx).min(axis=1)
 
         def body(k, carry):
             depth, vis, gb, cur4 = carry
@@ -286,10 +288,10 @@ def rasterize_xla_gbuffer(
             maxz = bins.pair_maxz[start + k]
             active = maxz > jnp.min(cur4)
             qr = bins.pair_qr[start + k]
-            cr = tile_h // 4 if tile_h % 4 == 0 else tile_h
+            cr = tile_h // nc
             row_l = jnp.arange(tpx, dtype=jnp.int32) // tile_w
-            mask = (row_l >= (qr // 4) * cr) & (row_l < (qr % 4 + 1) * cr)
-            if n_chunks > 1:
+            mask = (row_l >= (qr // nc) * cr) & (row_l < (qr % nc + 1) * cr)
+            if nc > 1:
                 mask = mask & (maxz > cur4[row_l // cr])
             ms = (
                 inst_mask_slot[slot] if inst_mask_slot is not None else None

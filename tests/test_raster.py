@@ -198,3 +198,43 @@ def test_gbuffer_pallas_matches_xla_with_earlyz():
     # vis can differ only on exact-z ties reordered by the depth sort
     agree = (np.asarray(v_x) == np.asarray(v_n)).mean()
     assert agree > 0.999, f"vis agreement {agree}"
+
+
+def test_gbuffer_32row_8chunk_matches_defaults():
+    """n_chunks=8 at 32-row tiles (the shape that unlocks pair-count
+    savings for the G-buffer kernel): pallas-interpret == XLA twin at
+    (32, 8), and depth equals the default (16, 4) shape's image
+    exactly (rasterization is tile-shape invariant; vis may differ
+    only on exact-z ties reordered by the per-tile pair order)."""
+    from orbit_tpu.raster.raster_pallas import rasterize_pallas_gbuffer
+    from orbit_tpu.raster.raster_xla import rasterize_xla_gbuffer
+
+    geom, n, assets = _sphere_setup()
+    bins8 = bin_meshlets(
+        geom.bbox, geom.inst_valid, W, H, 32, 128, 1 << 10,
+        max_z=geom.max_z, n_chunks=8,
+    )
+    assert not bool(bins8.overflow)
+    d_x, v_x, g_x = rasterize_xla_gbuffer(
+        geom.setup, assets.tri_ac, bins8, H, W, 32, 128,
+        inst_mid=geom.inst_mid, n_chunks=8,
+    )
+    d_p, v_p, g_p = rasterize_pallas_gbuffer(
+        geom.setup, assets.tri_ac, bins8, H, W, 32, 128, interpret=True,
+        inst_mid=geom.inst_mid, n_chunks=8,
+    )
+    np.testing.assert_array_equal(np.asarray(d_p), np.asarray(d_x))
+    np.testing.assert_array_equal(np.asarray(v_p), np.asarray(v_x))
+    np.testing.assert_array_equal(np.asarray(g_p), np.asarray(g_x))
+
+    bins4 = bin_meshlets(
+        geom.bbox, geom.inst_valid, W, H, 16, 128, 1 << 10,
+        max_z=geom.max_z,
+    )
+    d_4, v_4, _ = rasterize_xla_gbuffer(
+        geom.setup, assets.tri_ac, bins4, H, W, 16, 128,
+        inst_mid=geom.inst_mid,
+    )
+    np.testing.assert_array_equal(np.asarray(d_x), np.asarray(d_4))
+    agree = (np.asarray(v_x) == np.asarray(v_4)).mean()
+    assert agree > 0.999, f"vis agreement {agree}"
