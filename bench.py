@@ -71,14 +71,15 @@ def build(W=1920, H=1080, rbackend=None):
         raster=RasterConfig(
             backend=rbackend,
             # tile shape (round 5 measurements, tools/tile_experiment):
-            # the kernel is ~0.4 us/pair fixed-overhead-bound and pair-
-            # body gating made padding slots cheap; 32-row tiles win for
-            # depth-only work but the G-buffer kernel's phase-2 register
-            # set spills past VMEM at tile_px 4096 with the alpha test
-            # (53 -> 510 ms), so the G-buffer raster stays at 16x128
-            tile_h=16,
+            # the kernel is ~0.4 us/pair fixed-overhead-bound, so the
+            # pair count IS the raster cost — 32-row tiles cut it ~40%
+            # at 1080p. n_chunks=8 keeps the pixel phases at 512 px,
+            # which holds the G-buffer kernel's phase-2 live set at the
+            # 16-row size (the VMEM cliff that used to force 16x128)
+            tile_h=32,
             tile_w=128,
-            pair_capacity=147456,  # 3 chained 49152-pair raster calls
+            n_chunks=8,
+            pair_capacity=98304,  # 2 chained 49152-pair raster calls
         ),
         # aggressive distance LOD (the XL meshes carry steep 0.55x/level
         # chains, so far instances collapse to a handful of meshlets)
@@ -116,7 +117,7 @@ def build(W=1920, H=1080, rbackend=None):
             masked_pair_capacities=(32768, 12288, 12288, 24576),
         ),
         shadow_raster=RasterConfig(
-            backend=rbackend, tile_h=16, tile_w=128,
+            backend=rbackend, tile_h=32, tile_w=128, n_chunks=8,
             pair_capacity=49152,
         ),
         # per-cascade ceilings from the measured fly-through worst case
